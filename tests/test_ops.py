@@ -1,0 +1,124 @@
+"""Kernel-level tests: Pallas (interpreter mode) vs. plain-XLA references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.ops.flash_attention import flash_attention, reference_attention
+from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
+from vit_tpu.ops import extract_patches, patchify, spt_shifts, unpatchify
+
+
+def rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=dtype)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("nq,nk", [(65, 65), (197, 197), (2, 66), (130, 257)])
+    def test_matches_reference(self, nq, nk):
+        b, h, d = 2, 4, 64
+        q, k, v = rand(0, (b, h, nq, d)), rand(1, (b, h, nk, d)), rand(2, (b, h, nk, d))
+        out = flash_attention(q, k, v, interpret=True)
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("bias_shape", [(1, 4, 50, 50), (2, 1, 50, 50), (1, 1, 50, 50), (2, 4, 50, 50)])
+    def test_bias_broadcasting(self, bias_shape):
+        b, h, n, d = 2, 4, 50, 32
+        q, k, v = rand(0, (b, h, n, d)), rand(1, (b, h, n, d)), rand(2, (b, h, n, d))
+        bias = rand(3, bias_shape)
+        out = flash_attention(q, k, v, bias, interpret=True)
+        ref = reference_attention(q, k, v, bias)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_diag_self_mask(self):
+        b, h, n, d = 1, 2, 37, 16
+        q, k, v = rand(0, (b, h, n, d)), rand(1, (b, h, n, d)), rand(2, (b, h, n, d))
+        out = flash_attention(q, k, v, mask_self=True, interpret=True)
+        ref = reference_attention(q, k, v, mask_self=True)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_bf16(self):
+        b, h, n, d = 2, 8, 197, 64
+        q = rand(0, (b, h, n, d), jnp.bfloat16)
+        k = rand(1, (b, h, n, d), jnp.bfloat16)
+        v = rand(2, (b, h, n, d), jnp.bfloat16)
+        out = flash_attention(q, k, v, interpret=True)
+        ref = reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            out.astype(np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+        )
+
+    def test_custom_scale(self):
+        b, h, n, d = 1, 2, 30, 32
+        q, k, v = rand(0, (b, h, n, d)), rand(1, (b, h, n, d)), rand(2, (b, h, n, d))
+        out = flash_attention(q, k, v, scale=0.25, interpret=True)
+        ref = reference_attention(q, k, v, scale=0.25)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+class TestFusedMLP:
+    @pytest.mark.parametrize("t,d,f", [(65, 96, 384), (197, 128, 512), (64, 256, 1100)])
+    def test_matches_reference(self, t, d, f):
+        x = rand(0, (2, t, d))
+        w1, b1 = rand(1, (d, f)), rand(2, (f,))
+        w2, b2 = rand(3, (f, d)), rand(4, (d,))
+        g, bl = rand(5, (d,)), rand(6, (d,))
+        out = fused_mlp(x, w1, b1, w2, b2, g, bl, interpret=True)
+        ref = reference_mlp(x, w1, b1, w2, b2, g, bl)
+        # blocked hidden-dim accumulation reorders fp32 sums vs one big dot
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    def test_no_ln_no_residual(self):
+        x = rand(0, (1, 50, 64))
+        w1, w2 = rand(1, (64, 128)), rand(2, (128, 64))
+        out = fused_mlp(x, w1, None, w2, None, residual=False, interpret=True)
+        ref = reference_mlp(x, w1, None, w2, None, residual=False)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_hard_swish(self):
+        x = rand(0, (1, 49, 64))
+        w1, b1 = rand(1, (64, 128)), rand(2, (128,))
+        w2, b2 = rand(3, (128, 64)), rand(4, (64,))
+        out = fused_mlp(x, w1, b1, w2, b2, activation="hard_swish", interpret=True)
+        ref = reference_mlp(x, w1, b1, w2, b2, activation="hard_swish")
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+class TestPatchOps:
+    def test_patchify_roundtrip(self):
+        x = rand(0, (2, 32, 32, 3))
+        p = patchify(x, 8)
+        assert p.shape == (2, 16, 192)
+        x2 = unpatchify(p, 4, 4, 8, 8, 3)
+        np.testing.assert_array_equal(x, x2)
+
+    def test_patchify_matches_einops_order(self):
+        import einops
+
+        x = rand(0, (2, 16, 16, 3))
+        p = patchify(x, 4)
+        ref = einops.rearrange(x, "b (h p1) (w p2) c -> b (h w) (p1 p2 c)", p1=4, p2=4)
+        np.testing.assert_array_equal(p, ref)
+
+    def test_extract_patches_matches_tf_order(self):
+        # Feature order must match tf.image.extract_patches for T2T parity
+        # (SURVEY.md §7.3 item 4). Verified against TF directly when present.
+        tf = pytest.importorskip("tensorflow")
+        x = np.asarray(rand(0, (1, 14, 14, 5)))
+        ours = extract_patches(jnp.asarray(x), kernel=3, stride=2, padding="SAME")
+        theirs = tf.image.extract_patches(
+            x, sizes=[1, 3, 3, 1], strides=[1, 2, 2, 1], rates=[1, 1, 1, 1], padding="SAME"
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-6)
+
+    def test_spt_shifts(self):
+        x = rand(0, (1, 8, 8, 3))
+        out = spt_shifts(x)
+        assert out.shape == (1, 8, 8, 15)
+        # center copy is the input itself
+        np.testing.assert_array_equal(out[..., :3], x)

@@ -1,0 +1,165 @@
+"""Attention modules — one configurable core covering the zoo's 14 variants.
+
+The reference declares a near-identical ``Attention`` in eleven files
+(vit.py:55, deepvit.py:46, cait.py:73, parallel_vit.py:49, patch_merger.py:67,
+t2t.py:54, pit.py:46, simple_vit.py:47, region_vit_flax.py:63,
+vit_small_datasets.py:71, cross_vit.py:40). Here a single module exposes the
+union of their hooks and dispatches the hot softmax-attention path to the
+Pallas flash kernel (vit_tpu.ops.attention); variants whose math breaks the
+flash factorization (talking-heads cait.py:105-107, re-attention
+deepvit.py:69) take a materializing XLA path — acceptable at their tiny
+sequence lengths (SURVEY.md §7.3 item 5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vit_tpu import ops
+from vit_tpu.ops.flash_attention import MASK_VALUE
+
+
+def split_heads(x: jax.Array, heads: int) -> jax.Array:
+    """``[B, N, H*D] -> [B, H, N, D]``."""
+    b, n, hd = x.shape
+    return x.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """``[B, H, N, D] -> [B, N, H*D]``."""
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class Attention(nn.Module):
+    """Multi-head self/cross attention with the zoo's variant hooks.
+
+    Attributes:
+      dim: model width of the residual stream.
+      heads / dim_head: attention geometry.
+      dropout: attention-probability and output dropout rate.
+      pre_norm: fuse a LayerNorm prologue (the reference's ``PreNorm``).
+      qkv_bias: bias on the fused qkv projection (reference: False).
+      talking_heads: CaiT pre/post-softmax head mixing (cait.py:87-107).
+      reattention: DeepViT re-attention (deepvit.py:68-72).
+      mask_self: LSA diagonal masking (vit_small_datasets.py:97-99).
+      learned_temperature: LSA learnable logit scale, initialized to
+        ``dim_head ** -0.5`` — the reference freezes it (bug register #7);
+        here it is a real parameter per the paper.
+      project_out: force/skip the output projection; ``None`` mirrors the
+        reference rule — skip when ``heads == 1 and dim_head == dim``
+        (vit.py:65).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    pre_norm: bool = True
+    qkv_bias: bool = False
+    talking_heads: bool = False
+    reattention: bool = False
+    mask_self: bool = False
+    learned_temperature: bool = False
+    project_out: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        kv_include_self: bool = False,
+        bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        project_out = (
+            self.project_out
+            if self.project_out is not None
+            else not (self.heads == 1 and self.dim_head == self.dim)
+        )
+
+        if self.pre_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+        if context is None:
+            kv_src = x
+        else:
+            if self.pre_norm:
+                context = nn.LayerNorm(dtype=self.dtype, name="norm_context")(context)
+            kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
+
+        if context is None and not kv_include_self:
+            qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+            kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(kv_src)
+            k, v = jnp.split(kv, 2, axis=-1)
+
+        q = split_heads(q, self.heads)
+        k = split_heads(k, self.heads)
+        v = split_heads(v, self.heads)
+
+        if self.learned_temperature:
+            # LSA: scale = exp(log_tau), a learned scalar initialized so the
+            # initial value equals the standard 1/sqrt(d) (parity at init).
+            log_tau = self.param(
+                "log_temperature",
+                lambda rng: jnp.full((), jnp.log(self.dim_head**-0.5), jnp.float32),
+            )
+            scale = jnp.exp(log_tau)
+        else:
+            scale = self.dim_head**-0.5
+
+        needs_materialized = (
+            self.talking_heads
+            or self.reattention
+            or (self.dropout > 0.0 and not deterministic)
+            or self.learned_temperature  # traced scale -> XLA path
+        )
+
+        if not needs_materialized:
+            out = ops.attention(q, k, v, bias=bias, scale=scale, mask_self=self.mask_self)
+        else:
+            s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+            s = s * scale
+            if bias is not None:
+                s = s + bias.astype(s.dtype)
+            if self.mask_self:
+                nq, nk = s.shape[-2:]
+                s = jnp.where(jnp.eye(nq, nk, dtype=bool), MASK_VALUE, s)
+            if self.talking_heads:
+                mix_pre = self.param(
+                    "mix_heads_pre", nn.initializers.normal(0.02), (self.heads, self.heads)
+                )
+                s = jnp.einsum("bhij,hg->bgij", s, mix_pre)
+            p = jax.nn.softmax(s, axis=-1)
+            if self.talking_heads:
+                mix_post = self.param(
+                    "mix_heads_post", nn.initializers.normal(0.02), (self.heads, self.heads)
+                )
+                p = jnp.einsum("bhij,hg->bgij", p, mix_post)
+            if self.reattention:
+                # DeepViT: learned head re-mixing of the attention map,
+                # normalized across the token axis (deepvit.py:68-72).
+                reattn = self.param(
+                    "reattn_weights", nn.initializers.normal(0.02), (self.heads, self.heads)
+                )
+                p = jnp.einsum("bhij,hg->bgij", p, reattn)
+                p = nn.LayerNorm(dtype=self.dtype, name="reattn_norm")(
+                    p.transpose(0, 2, 3, 1)
+                ).transpose(0, 3, 1, 2)
+            p = nn.Dropout(self.dropout, name="attn_drop")(p, deterministic=deterministic)
+            out = jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
+
+        out = merge_heads(out)
+        if project_out:
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+            out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
+        return out

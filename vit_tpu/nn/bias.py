@@ -1,0 +1,106 @@
+"""Relative-position attention-bias tables.
+
+These produce the additive ``bias`` consumed by the flash-attention kernel's
+bias lane (vit_tpu.ops.flash_attention): LeViT's learned |Δ| embedding table
+(levit.py:107-138), RegionViT's windowed rel-pos table padded for the region
+token (region_vit_flax.py:122-149), and CrossFormer's resolution-independent
+DynamicPositionBias MLP (crossformer.py:44-60).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _grid_coords(h: int, w: int) -> np.ndarray:
+    y, x = np.mgrid[:h, :w]
+    return np.stack([y.flatten(), x.flatten()], axis=-1)  # [h*w, 2]
+
+
+class LeViTAttentionBias(nn.Module):
+    """Learned positional attention bias indexed by (|Δy|, |Δx|)
+    (levit.py:107-118). Returns ``[1, heads, Nq, Nk]``."""
+
+    heads: int
+    fmap_size: int  # key/value fmap side
+    q_fmap_size: Optional[int] = None  # query fmap side (downsampling attn)
+    q_stride: int = 1
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        kv_side = self.fmap_size
+        q_side = self.q_fmap_size or kv_side
+        table = nn.Embed(kv_side * kv_side, self.heads, name="pos_bias")
+        q_coords = _grid_coords(q_side, q_side) * self.q_stride
+        k_coords = _grid_coords(kv_side, kv_side)
+        rel = np.abs(q_coords[:, None, :] - k_coords[None, :, :])  # [Nq, Nk, 2]
+        idx = rel[..., 0] * kv_side + rel[..., 1]
+        bias = table(jnp.asarray(idx))  # [Nq, Nk, heads]
+        return bias.transpose(2, 0, 1)[None]
+
+
+class WindowRelPosBias(nn.Module):
+    """Learned rel-pos bias for a w x w window, with one leading row/col of
+    zero-padding for a prepended region/cls token (region_vit_flax.py:137-149).
+    Returns ``[1, heads, w*w(+1), w*w(+1)]``."""
+
+    heads: int
+    window_size: int
+    prepend_tokens: int = 0
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        w = self.window_size
+        span = 2 * w - 1
+        table = nn.Embed(span * span, self.heads, name="rel_pos_bias")
+        coords = _grid_coords(w, w)
+        rel = coords[:, None, :] - coords[None, :, :] + (w - 1)  # [N, N, 2]
+        idx = rel[..., 0] * span + rel[..., 1]
+        bias = table(jnp.asarray(idx)).transpose(2, 0, 1)  # [heads, N, N]
+        p = self.prepend_tokens
+        if p:
+            bias = jnp.pad(bias, ((0, 0), (p, 0), (p, 0)))
+        return bias[None]
+
+
+class DynamicPositionBias(nn.Module):
+    """CrossFormer DPB: a small MLP over continuous relative coordinates —
+    resolution-independent by construction (crossformer.py:44-60).
+
+    ``__call__(window_size)`` returns ``[1, heads, w*w, w*w]``.
+    """
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, window_size: int) -> jax.Array:
+        w = window_size
+        span = 2 * w - 1
+        # Continuous offsets in [-(w-1), w-1]^2, evaluated once per span and
+        # gathered per token pair (crossformer.py:154-158).
+        offs = np.stack(np.meshgrid(np.arange(span), np.arange(span), indexing="ij"), -1)
+        offs = offs.reshape(-1, 2) - (w - 1)
+        h = jnp.asarray(offs, jnp.float32)
+        h = nn.Dense(self.dim // 4, name="fc0")(h)
+        h = nn.LayerNorm(name="ln0")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim // 4, name="fc1")(h)
+        h = nn.LayerNorm(name="ln1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim // 4, name="fc2")(h)
+        h = nn.LayerNorm(name="ln2")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.heads, name="fc3")(h)  # [span*span, heads]
+
+        coords = _grid_coords(w, w)
+        rel = coords[:, None, :] - coords[None, :, :] + (w - 1)
+        idx = rel[..., 0] * span + rel[..., 1]  # [N, N]
+        bias = h[jnp.asarray(idx.reshape(-1))]  # [N*N, heads]
+        n = w * w
+        return bias.reshape(n, n, self.heads).transpose(2, 0, 1)[None]

@@ -1,0 +1,233 @@
+"""Feed-forward and encoder-stack modules shared by every model family.
+
+The reference copy-pastes ``FeedForward`` into ten files (vit.py:41 clones,
+SURVEY.md §2.2 row 3) and a per-file ``Transformer`` loop (vit.py:89-112).
+Here: one FeedForward that lowers to the Pallas fused-MLP kernel, one
+standard pre-norm residual encoder, and in-graph stochastic depth replacing
+the reference's host-side structural layer-dropout (cait.py:16-30, bug
+register #5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vit_tpu import ops
+from vit_tpu.nn.attention import Attention
+
+
+class FeedForward(nn.Module):
+    """Pre-norm MLP block: ``LN -> Dense -> GELU -> Dense`` (+dropout).
+
+    Inference path lowers the whole block (including the LayerNorm prologue)
+    to the Pallas ``fused_mlp`` kernel; the residual add stays with the
+    caller so parity with the reference block structure is 1:1.
+    """
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    pre_norm: bool = True
+    norm_bias: bool = True
+    dense_bias: bool = True
+    activation: str = "gelu"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        w1 = self.param(
+            "w1", nn.initializers.lecun_normal(), (self.dim, self.hidden_dim), jnp.float32
+        )
+        b1 = (
+            self.param("b1", nn.initializers.zeros, (self.hidden_dim,), jnp.float32)
+            if self.dense_bias
+            else None
+        )
+        w2 = self.param(
+            "w2", nn.initializers.lecun_normal(), (self.hidden_dim, self.dim), jnp.float32
+        )
+        b2 = (
+            self.param("b2", nn.initializers.zeros, (self.dim,), jnp.float32)
+            if self.dense_bias
+            else None
+        )
+        if self.pre_norm:
+            ln_scale = self.param("ln_scale", nn.initializers.ones, (self.dim,), jnp.float32)
+            ln_bias = (
+                self.param("ln_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+                if self.norm_bias
+                else None
+            )
+        else:
+            ln_scale = ln_bias = None
+
+        dtype = self.dtype or x.dtype
+        cast = lambda p: None if p is None else p.astype(dtype)
+
+        if self.dropout > 0.0 and not deterministic:
+            # Training path: dropout between the activations (XLA).
+            h = x
+            if self.pre_norm:
+                h = _layer_norm(h, cast(ln_scale), cast(ln_bias))
+            h = h @ cast(w1)
+            if b1 is not None:
+                h = h + cast(b1)
+            h = _activate(h, self.activation)
+            h = nn.Dropout(self.dropout, name="drop1")(h, deterministic=False)
+            h = h @ cast(w2)
+            if b2 is not None:
+                h = h + cast(b2)
+            h = nn.Dropout(self.dropout, name="drop2")(h, deterministic=False)
+            return h
+
+        out = ops.mlp(
+            x.astype(dtype),
+            cast(w1),
+            cast(b1),
+            cast(w2),
+            cast(b2),
+            cast(ln_scale),
+            cast(ln_bias),
+            activation=self.activation,
+            residual=False,
+        )
+        return out
+
+
+def _activate(h, activation):
+    if activation == "gelu":
+        return nn.gelu(h)
+    if activation == "hard_swish":
+        return h * nn.relu6(h + 3.0) / 6.0
+    raise ValueError(activation)
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+class LayerScale(nn.Module):
+    """CaiT LayerScale: learned per-channel residual gain (cait.py:32-49).
+
+    The reference's scale is a frozen ``jnp.full`` constant (bug register
+    #6); here it is a learned parameter initialized to the paper's
+    depth-banded epsilon: 0.1 for depth<=18, 1e-5 for <=24, 1e-6 beyond.
+    """
+
+    dim: int
+    depth: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.depth <= 18:
+            init_eps = 0.1
+        elif self.depth <= 24:
+            init_eps = 1e-5
+        else:
+            init_eps = 1e-6
+        scale = self.param(
+            "scale", lambda rng, shape: jnp.full(shape, init_eps, jnp.float32), (self.dim,)
+        )
+        return x * scale.astype(x.dtype)
+
+
+class Transformer(nn.Module):
+    """Standard pre-norm residual encoder with the zoo's variant hooks.
+
+    Covers the vanilla stack (vit.py:89-112), DeepViT (reattention),
+    ParallelViT (``parallel_branches`` summed branches per depth,
+    parallel_vit.py:99-107), CaiT patch/class stages (``layer_scale`` +
+    in-graph stochastic ``layer_dropout``), and LSA (``mask_self`` +
+    learned temperature).
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    reattention: bool = False
+    mask_self: bool = False
+    learned_temperature: bool = False
+    talking_heads: bool = False
+    layer_scale: bool = False
+    layer_dropout: float = 0.0
+    parallel_branches: int = 1
+    final_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        attn_kwargs = dict(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            reattention=self.reattention,
+            mask_self=self.mask_self,
+            learned_temperature=self.learned_temperature,
+            talking_heads=self.talking_heads,
+            dtype=self.dtype,
+        )
+
+        def residual(x, delta, layer_idx, kind):
+            if self.layer_scale:
+                delta = LayerScale(self.dim, layer_idx + 1, name=f"ls_{kind}_{layer_idx}")(delta)
+            if self.layer_dropout > 0.0 and not deterministic:
+                # In-graph stochastic depth: per-sample bernoulli gate
+                # (replaces the reference's fixed-key structural dropout,
+                # cait.py:21,27).
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - self.layer_dropout, (x.shape[0], 1, 1)
+                )
+                delta = delta * keep.astype(delta.dtype) / (1.0 - self.layer_dropout)
+            return x + delta
+
+        for i in range(self.depth):
+            if self.parallel_branches == 1:
+                a = Attention(**attn_kwargs, name=f"attn_{i}")(
+                    x, context=context, deterministic=deterministic
+                )
+                x = residual(x, a, i, "attn")
+                f = FeedForward(
+                    self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name=f"ff_{i}"
+                )(x, deterministic=deterministic)
+                x = residual(x, f, i, "ff")
+            else:
+                # ParallelViT: sum of N attention branches, then sum of N FF
+                # branches, each applied to the same input (parallel_vit.py:99-107).
+                a = sum(
+                    Attention(**attn_kwargs, name=f"attn_{i}_{b}")(
+                        x, context=context, deterministic=deterministic
+                    )
+                    for b in range(self.parallel_branches)
+                )
+                x = residual(x, a, i, "attn")
+                f = sum(
+                    FeedForward(
+                        self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name=f"ff_{i}_{b}"
+                    )(x, deterministic=deterministic)
+                    for b in range(self.parallel_branches)
+                )
+                x = residual(x, f, i, "ff")
+
+        if self.final_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return x

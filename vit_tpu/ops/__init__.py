@@ -1,0 +1,92 @@
+"""Kernel layer: Pallas TPU kernels with XLA fallbacks and a dispatch policy.
+
+Backend selection (``VIT_TPU_BACKEND`` env var):
+  - ``auto`` (default): Pallas kernels when running on TPU, XLA elsewhere.
+  - ``pallas``: force compiled Pallas kernels.
+  - ``interpret``: Pallas kernels in interpreter mode (CPU kernel testing).
+  - ``xla``: force the plain-XLA reference implementations.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from vit_tpu.ops.flash_attention import flash_attention, reference_attention
+from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
+from vit_tpu.ops.patch_embed import (  # noqa: F401
+    extract_patches,
+    patchify,
+    posemb_sincos_2d,
+    spt_shifts,
+    unpatchify,
+)
+
+__all__ = [
+    "attention",
+    "mlp",
+    "flash_attention",
+    "reference_attention",
+    "fused_mlp",
+    "reference_mlp",
+    "patchify",
+    "unpatchify",
+    "extract_patches",
+    "spt_shifts",
+    "posemb_sincos_2d",
+    "backend_mode",
+]
+
+
+def backend_mode() -> str:
+    mode = os.environ.get("VIT_TPU_BACKEND", "auto")
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return mode
+
+
+def attention(
+    q,
+    k,
+    v,
+    bias=None,
+    *,
+    scale: Optional[float] = None,
+    mask_self: bool = False,
+):
+    """Dispatching multi-head attention: ``[B, H, N, D]`` in/out."""
+    mode = backend_mode()
+    if mode == "xla":
+        return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
+    return flash_attention(
+        q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
+    )
+
+
+def mlp(
+    x,
+    w1,
+    b1,
+    w2,
+    b2,
+    ln_scale=None,
+    ln_bias=None,
+    *,
+    activation: str = "gelu",
+    residual: bool = True,
+    ln_eps: float = 1e-6,
+):
+    """Dispatching fused MLP block over tokens ``[..., T, D]``."""
+    mode = backend_mode()
+    if mode == "xla":
+        return reference_mlp(
+            x, w1, b1, w2, b2, ln_scale, ln_bias,
+            activation=activation, residual=residual, ln_eps=ln_eps,
+        )
+    return fused_mlp(
+        x, w1, b1, w2, b2, ln_scale, ln_bias,
+        activation=activation, residual=residual, ln_eps=ln_eps,
+        interpret=(mode == "interpret"),
+    )

@@ -1,0 +1,241 @@
+"""Pallas TPU fused softmax-attention kernel.
+
+This single kernel covers the reference zoo's entire attention surface
+(SURVEY.md §2.2 row 5, §2.4 item 1-2):
+
+- global fused-QKV MHSA            (reference vit.py:55 and ten clones)
+- cross / context attention        (cait.py:90-99, cross_vit.py:55-56)
+- additive attention bias          (levit.py:107-138, region_vit_flax.py:94,
+                                    crossformer.py:154-158 — rel-pos tables)
+- diagonal self-masking (LSA)      (vit_small_datasets.py:97-99)
+- window / dilated-window attention: window partitions fold windows into the
+  batch*heads grid axis outside the kernel (crossformer.py:139-141 etc.), so
+  the same kernel serves SDA/LDA/Twins-local/NesT/IWSA/RegionViT.
+
+Design: ViT-family sequence lengths are small (65-3,200 tokens), so K and V
+for one (batch, head) live entirely in VMEM; the grid is (batch*heads,
+q_blocks) and each program computes one Q tile against all of K/V with a
+single fused fp32 softmax. The n² score matrix only ever exists one
+(block_q, Nk) tile at a time in VMEM — the reference materializes the full
+matrix in HBM at every layer (vit.py:73-75). For longer sequences the Q-tile
+loop structure is the documented extension point for a KV-blocked online
+softmax / ring-over-ICI variant (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.core.utils import cdiv, round_up
+
+# -0.7 * float32 max: large negative that survives exp() without NaN.
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+_LANES = 128
+
+
+def _attn_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    o_ref,
+    *,
+    scale: float,
+    true_nq: int,
+    true_nk: int,
+    block_q: int,
+    mask_self: bool,
+    has_bias: bool,
+):
+    """One Q tile vs. the full K/V for one (batch*head) slice."""
+    qi = pl.program_id(1)
+
+    # For bf16 inputs the MXU computes natively; for fp32 inputs request
+    # full fp32 (the TPU default would decompose to one bf16 pass).
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [nk_pad, d]
+
+    # Q @ K^T on the MXU, fp32 accumulation.
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [block_q, nk_pad]
+    s *= scale
+
+    if has_bias:
+        s += bias_ref[0].astype(jnp.float32)
+
+    nk_pad = k.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, nk_pad), 1)
+    mask = col_ids < true_nk
+    if mask_self:
+        # LSA diagonal self-mask (vit_small_datasets.py:97-99): token i must
+        # not attend to itself. Global row index = qi * block_q + local row.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, nk_pad), 0)
+        row_ids = row_ids + qi * block_q
+        mask = jnp.logical_and(mask, col_ids != row_ids)
+    s = jnp.where(mask, s, MASK_VALUE)
+
+    # Numerically-stable fused softmax in fp32 (never leaves VMEM).
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p * pl.reciprocal(l, approx=False)
+
+    v = v_ref[0]
+    o = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=precision
+    )  # [block_q, d]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "mask_self", "block_q", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    mask_self: bool = False,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused multi-head attention.
+
+    Args:
+      q: ``[B, H, Nq, D]`` queries.
+      k: ``[B, H, Nk, D]`` keys.
+      v: ``[B, H, Nk, D]`` values.
+      bias: optional additive logits bias, broadcastable ``[B|1, H|1, Nq, Nk]``.
+      scale: logit scale; defaults to ``D ** -0.5``.
+      mask_self: mask the q==k diagonal (LSA).
+      block_q: Q tile size (rounded to the padded Nq).
+      interpret: run the kernel in Pallas interpreter mode (CPU testing).
+
+    Returns:
+      ``[B, H, Nq, D]`` attention output in the dtype of ``v``.
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+
+    block_q = min(block_q, round_up(nq, _LANES))
+    nq_pad = round_up(nq, block_q)
+    nk_pad = round_up(nk, _LANES)
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+    if nq_pad != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    if nk_pad != nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - nk), (0, 0)))
+
+    grid = (b * h, cdiv(nq_pad, block_q))
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    has_bias = bias is not None
+    if has_bias:
+        # Canonicalize to [G, Nq_pad, Nk_pad] with G in {1, H, B*H}; the
+        # index map folds broadcasting over batch and/or heads.
+        bb, bh_, bnq, bnk = bias.shape
+        assert bnq == nq and bnk == nk, "bias must match (Nq, Nk)"
+        g = bb * bh_
+        biasf = bias.reshape(g, nq, nk).astype(jnp.float32)
+        biasf = jnp.pad(biasf, ((0, 0), (0, nq_pad - nq), (0, nk_pad - nk)))
+        if g == 1:
+            bias_index = lambda bh, qi: (0, qi, 0)
+        elif bb == 1:  # per-head bias shared over batch
+            bias_index = lambda bh, qi: (bh % h, qi, 0)
+        elif bh_ == 1:  # per-batch bias shared over heads
+            bias_index = lambda bh, qi: (bh // h, qi, 0)
+        else:
+            bias_index = lambda bh, qi: (bh, qi, 0)
+        in_specs.append(
+            pl.BlockSpec((1, block_q, nk_pad), bias_index, memory_space=pltpu.VMEM)
+        )
+        args = (qf, kf, vf, biasf)
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args = (qf, kf, vf, jnp.zeros((1, 1), dtype=jnp.float32))
+
+    kernel = functools.partial(
+        _attn_kernel,
+        scale=float(scale),
+        true_nq=nq,
+        true_nk=nk,
+        block_q=block_q,
+        mask_self=mask_self,
+        has_bias=has_bias,
+    )
+
+    flops = 4 * b * h * nq * nk * d
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, d), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    return out[:, :nq, :].reshape(b, h, nq, d)
+
+
+def reference_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    mask_self: bool = False,
+) -> jax.Array:
+    """Plain-XLA attention: numerical reference and CPU/GPU fallback."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias is not None:
+        s = s + bias.astype(s.dtype)
+    if mask_self:
+        nq, nk = s.shape[-2:]
+        eye = jnp.eye(nq, nk, dtype=bool)
+        s = jnp.where(eye, MASK_VALUE, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
