@@ -1,0 +1,89 @@
+"""Benchmark: ViT-L/16 @224 bf16 inference throughput vs. the jit-compiled
+reference (the BASELINE.json north-star metric).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference never calls jax.jit (SURVEY.md §6.3 item 21); the comparator
+is its ``apply`` wrapped in jax.jit with dropout 0, per BASELINE.md. Parity
+is checked by importing the reference's params into our layout and comparing
+max-logit error (target <=1e-2).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CFG = dict(
+    image_size=224, patch_size=16, num_classes=1000,
+    dim=1024, depth=24, heads=16, mlp_dim=4096,
+)
+BATCH = 128
+ITERS = 20
+
+
+def timed_throughput(fn, *args, iters=ITERS, batch=BATCH):
+    fn(*args).block_until_ready()  # compile + warm
+    fn(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt, dt
+
+
+def main():
+    from vit_tpu.models import ViT
+    from vit_tpu.utils import import_reference_vit_params
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
+
+    # --- reference, jit-compiled, fp32 (it has no dtype control) ---
+    sys.path.insert(0, "/root/reference/vit_flax")
+    import vit as ref_vit  # noqa: E402
+
+    ref_model = ref_vit.ViT(**CFG, dropout=0.0, emb_dropout=0.0)
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2),
+            "emb_dropout": jax.random.PRNGKey(3)}
+    # jit the init too: eager init dispatches per-op (pathological over the
+    # TPU tunnel in this environment)
+    ref_params = jax.jit(lambda: ref_model.init(rngs, img[:1]))()
+    ref_apply = jax.jit(lambda p, x: ref_model.apply(p, x, rngs=rngs))
+    ref_ips, ref_lat = timed_throughput(ref_apply, ref_params, img)
+
+    # --- ours, bf16, Pallas kernels, imported weights ---
+    our_model = ViT(**CFG, dtype=jnp.bfloat16)
+    our_params = import_reference_vit_params(ref_params, CFG["depth"])
+    img_bf16 = img.astype(jnp.bfloat16)
+    our_apply = jax.jit(lambda p, x: our_model.apply(p, x))
+    our_ips, our_lat = timed_throughput(our_apply, our_params, img_bf16)
+
+    # --- parity on a small slice ---
+    ref_logits = ref_apply(ref_params, img[:8])
+    our_logits = our_apply(our_params, img_bf16[:8])
+    max_err = float(np.max(np.abs(
+        np.asarray(our_logits, np.float32) - np.asarray(ref_logits, np.float32)
+    )))
+
+    print(json.dumps({
+        "metric": "ViT-L/16 @224 bf16 inference throughput (batch 128, 1 chip)",
+        "value": round(our_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(our_ips / ref_ips, 3),
+        "baseline_images_per_sec": round(ref_ips, 2),
+        "p50_batch_latency_ms": round(our_lat * 1e3, 2),
+        "baseline_latency_ms": round(ref_lat * 1e3, 2),
+        "max_logit_err_vs_reference": round(max_err, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

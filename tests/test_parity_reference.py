@@ -1,0 +1,53 @@
+"""Logit parity against the reference implementation on identical weights.
+
+The reference runs in this environment (SURVEY.md §6.2); its ViT params are
+imported into our layout and logits compared with dropout 0 (the reference
+hardcodes training-mode dropout, so rate must be 0 for determinism)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference/vit_flax")
+
+from vit_tpu.models import ViT
+from vit_tpu.utils import import_reference_vit_params
+
+CFG = dict(image_size=64, patch_size=16, num_classes=10, dim=64, depth=3,
+           heads=4, mlp_dim=128)
+
+
+@pytest.fixture(scope="module")
+def reference_vit():
+    ref_vit = pytest.importorskip("vit")
+    model = ref_vit.ViT(**CFG, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2),
+            "emb_dropout": jax.random.PRNGKey(3)}
+    params = model.init(rngs, img)
+    logits = model.apply(params, img, rngs=rngs)
+    return params, img, logits
+
+
+def test_vit_logit_parity(reference_vit):
+    ref_params, img, ref_logits = reference_vit
+    ours = ViT(**CFG)
+    params = import_reference_vit_params(ref_params, CFG["depth"])
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=2e-5, rtol=2e-4
+    )
+
+
+def test_vit_logit_parity_bf16(reference_vit):
+    """bf16 compute on imported fp32 weights: max-logit error within the
+    BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""
+    ref_params, img, ref_logits = reference_vit
+    ours = ViT(**CFG, dtype=jnp.bfloat16)
+    params = import_reference_vit_params(ref_params, CFG["depth"])
+    our_logits = ours.apply(params, img.astype(jnp.bfloat16))
+    err = np.max(np.abs(np.asarray(our_logits, np.float32) - np.asarray(ref_logits)))
+    assert err <= 5e-2, f"bf16 max-logit error {err}"

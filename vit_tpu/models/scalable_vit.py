@@ -1,0 +1,159 @@
+"""ScalableViT — Scalable Self-Attention + Interactive Windowed
+Self-Attention (reference: scalable_vit.py:265-340).
+
+SSA decouples key/value dims from the model dim and spatially reduces k/v
+with a reduction_factor-strided conv (scalable_vit.py:116-124); IWSA runs
+windowed attention plus a Local Interactive Module (3x3 conv over the
+full-resolution values) added back after attention (scalable_vit.py:170-210).
+Blocks alternate SSA and IWSA with a PEG after the first block of each stage.
+
+Note: the reference packs its per-depth layer tuple [ssa, ff1, peg, ff2, iwsa]
+but unpacks it `ssa, ff1, peg, iwsa, ff2` (scalable_vit.py:238-251 — harmless
+since the two FFs share a config, bug register #18); this build keeps the
+intended order explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vit_tpu import ops
+from vit_tpu.core.utils import cast_tuple
+from vit_tpu.nn.attention import mha_tokens
+from vit_tpu.nn.conv import ConvMLP, Downsample, PEG
+
+
+class _SSA(nn.Module):
+    dim: int
+    heads: int = 8
+    dim_key: int = 32
+    dim_value: int = 32
+    dropout: float = 0.0
+    reduction_factor: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, h, w, _ = x.shape
+        r = self.reduction_factor
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        q = nn.Dense(self.dim_key * self.heads, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Conv(
+            self.dim_key * self.heads, (r, r), strides=r, use_bias=False,
+            dtype=self.dtype, name="to_k",
+        )(x)
+        v = nn.Conv(
+            self.dim_value * self.heads, (r, r), strides=r, use_bias=False,
+            dtype=self.dtype, name="to_v",
+        )(x)
+        out = mha_tokens(
+            q.reshape(b, h * w, -1),
+            k.reshape(b, -1, self.dim_key * self.heads),
+            v.reshape(b, -1, self.dim_value * self.heads),
+            self.heads,
+            scale=self.dim_key**-0.5,
+        )
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out.reshape(b, h, w, -1))
+        return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
+
+
+class _IWSA(nn.Module):
+    dim: int
+    window_size: Optional[int]
+    heads: int = 8
+    dim_key: int = 32
+    dim_value: int = 32
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, h, w, _ = x.shape
+        wsz = self.window_size if self.window_size is not None else h
+        assert h % wsz == 0 and w % wsz == 0
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        q = nn.Dense(self.dim_key * self.heads, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(self.dim_key * self.heads, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(self.dim_value * self.heads, use_bias=False, dtype=self.dtype, name="to_v")(x)
+
+        # Local Interactive Module: 3x3 conv over full-res values
+        # (scalable_vit.py:170,192) re-merges window-independent tokens.
+        local_out = nn.Conv(
+            self.dim_value * self.heads, (3, 3), padding="SAME", dtype=self.dtype, name="lim"
+        )(v)
+
+        qw = ops.window_partition(q, wsz)
+        kw = ops.window_partition(k, wsz)
+        vw = ops.window_partition(v, wsz)
+        out = mha_tokens(qw, kw, vw, self.heads, scale=self.dim_key**-0.5)
+        out = ops.window_unpartition(out, wsz, h, w)
+
+        out = out + local_out
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
+
+
+class ScalableViT(nn.Module):
+    num_classes: int
+    dim: int
+    depth: tuple
+    heads: tuple
+    reduction_factor: tuple
+    window_size: tuple = None
+    iwsa_dim_key: int = 32
+    iwsa_dim_value: int = 32
+    ssa_dim_key: int = 32
+    ssa_dim_value: int = 32
+    ff_expansion_factor: int = 4
+    channels: int = 3
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+        det = not train
+        assert isinstance(self.depth, tuple)
+        n = len(self.depth)
+        dims = tuple((2**i) * self.dim for i in range(n))
+        heads = cast_tuple(self.heads, n)
+        ssa_dim_key = cast_tuple(self.ssa_dim_key, n)
+        ssa_dim_value = cast_tuple(self.ssa_dim_value, n)
+        reduction = cast_tuple(self.reduction_factor, n)
+        iwsa_dim_key = cast_tuple(self.iwsa_dim_key, n)
+        iwsa_dim_value = cast_tuple(self.iwsa_dim_value, n)
+        window = cast_tuple(self.window_size, n)
+
+        x = nn.Conv(self.dim, (7, 7), strides=4, padding="SAME", dtype=self.dtype, name="patchify")(img)
+
+        for s in range(n):
+            for i in range(self.depth[s]):
+                x = x + _SSA(
+                    dims[s], heads[s], ssa_dim_key[s], ssa_dim_value[s],
+                    self.dropout, reduction[s], dtype=self.dtype, name=f"ssa_{s}_{i}",
+                )(x, deterministic=det)
+                x = x + ConvMLP(
+                    dims[s], self.ff_expansion_factor, self.dropout,
+                    dtype=self.dtype, name=f"ff1_{s}_{i}",
+                )(x, deterministic=det)
+                if i == 0:
+                    x = PEG(dims[s], dtype=self.dtype, name=f"peg_{s}")(x)
+                x = x + _IWSA(
+                    dims[s], window[s], heads[s], iwsa_dim_key[s], iwsa_dim_value[s],
+                    self.dropout, dtype=self.dtype, name=f"iwsa_{s}_{i}",
+                )(x, deterministic=det)
+                x = x + ConvMLP(
+                    dims[s], self.ff_expansion_factor, self.dropout,
+                    dtype=self.dtype, name=f"ff2_{s}_{i}",
+                )(x, deterministic=det)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"stage_norm_{s}")(x)
+            if s + 1 < n:
+                x = Downsample(dims[s + 1], dtype=self.dtype, name=f"down_{s}")(x)
+
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -35,6 +35,30 @@ def merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
+def mha_tokens(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    *,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Functional MHA over token layouts ``[B, N, H*D]`` -> ``[B, N, H*Dv]``.
+
+    Splits heads, runs the dispatching flash kernel, merges heads. Used by
+    the window/pyramid model families where q/k/v come from convs with
+    differing token counts (Twins GSA, SSA, CvT, windowed attention).
+    """
+    q = split_heads(q, heads)
+    k = split_heads(k, heads)
+    v = split_heads(v, heads)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out = ops.attention(q, k, v, bias=bias, scale=scale)
+    return merge_heads(out)
+
+
 class Attention(nn.Module):
     """Multi-head self/cross attention with the zoo's variant hooks.
 

@@ -9,6 +9,8 @@ Backend selection (``VIT_TPU_BACKEND`` env var):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 from typing import Optional
 
@@ -22,6 +24,14 @@ from vit_tpu.ops.patch_embed import (  # noqa: F401
     posemb_sincos_2d,
     spt_shifts,
     unpatchify,
+)
+from vit_tpu.ops.windows import (  # noqa: F401
+    block_partition,
+    block_unpartition,
+    dilated_partition,
+    dilated_unpartition,
+    window_partition,
+    window_unpartition,
 )
 
 __all__ = [
@@ -40,7 +50,29 @@ __all__ = [
 ]
 
 
+_backend_override: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
+    "vit_tpu_backend_override", default=None
+)
+
+
+@contextlib.contextmanager
+def force_backend(mode: str):
+    """Temporarily force the kernel backend (``pallas``/``xla``/``interpret``).
+
+    Used by the GSPMD tensor-parallel and training paths, which trace through
+    XLA so the partitioner can shard and differentiate the compute (Pallas
+    custom-calls carry no partitioning or autodiff rules yet)."""
+    token = _backend_override.set(mode)
+    try:
+        yield
+    finally:
+        _backend_override.reset(token)
+
+
 def backend_mode() -> str:
+    override = _backend_override.get()
+    if override is not None:
+        return override
     mode = os.environ.get("VIT_TPU_BACKEND", "auto")
     if mode == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -137,6 +137,7 @@ def flash_attention(
     """
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    dv = v.shape[-1]  # value head dim may differ (levit.py:56, scalable_vit.py:104)
     if scale is None:
         scale = d**-0.5
 
@@ -146,7 +147,7 @@ def flash_attention(
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
-    vf = v.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, dv)
     if nq_pad != nq:
         qf = jnp.pad(qf, ((0, 0), (0, nq_pad - nq), (0, 0)))
     if nk_pad != nk:
@@ -158,7 +159,7 @@ def flash_attention(
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, nk_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nk_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk_pad, dv), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
     ]
 
     has_bias = bias is not None
@@ -202,9 +203,9 @@ def flash_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+            (1, block_q, dv), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, d), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, dv), v.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
@@ -213,7 +214,7 @@ def flash_attention(
         interpret=interpret,
     )(*args)
 
-    return out[:, :nq, :].reshape(b, h, nq, d)
+    return out[:, :nq, :].reshape(b, h, nq, dv)
 
 
 def reference_attention(

@@ -1,0 +1,14 @@
+from vit_tpu.parallel.api import data_parallel_apply  # noqa: F401
+from vit_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    make_mesh,
+    replicated,
+)
+from vit_tpu.parallel.sharding import (  # noqa: F401
+    DEFAULT_TP_RULES,
+    replicate_params,
+    shard_params,
+    tp_param_specs,
+)

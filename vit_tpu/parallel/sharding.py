@@ -1,0 +1,64 @@
+"""Parameter partition rules: tensor parallelism via GSPMD annotations.
+
+The scaling-book recipe: name a mesh, annotate parameter shardings, let XLA
+insert the collectives (psum on the attention out-projection and MLP
+down-projection follows automatically from contracting a 'model'-sharded
+dimension). Rules are regex -> PartitionSpec over flattened param paths, so
+they cover every model in the zoo without per-model code:
+
+  - fused qkv / q / kv / up-projections: output dim sharded over 'model'
+    (head-parallel attention, column-parallel MLP)
+  - out / down projections: input dim sharded over 'model' (row-parallel)
+  - everything else (embeddings, norms, convs, heads): replicated
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vit_tpu.parallel.mesh import MODEL_AXIS
+
+# (path regex, spec for 2-D kernels). Order matters: first match wins.
+DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*(to_qkv|to_q|to_kv|to_k|to_v)/kernel$", P(None, MODEL_AXIS)),
+    (r".*/w1$", P(None, MODEL_AXIS)),
+    (r".*/b1$", P(MODEL_AXIS)),
+    (r".*(to_out|to_out_conv)/kernel$", P(MODEL_AXIS, None)),
+    (r".*/w2$", P(MODEL_AXIS, None)),
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def tp_param_specs(params: Any, rules=DEFAULT_TP_RULES) -> Any:
+    """PartitionSpec pytree for a param pytree under the given TP rules."""
+
+    def spec_for(path, leaf):
+        p = _path_str(path)
+        for pattern, spec in rules:
+            if re.match(pattern, p):
+                # only shard if the rank matches the spec's intent
+                if leaf.ndim >= len([a for a in spec if a is not None]):
+                    return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_TP_RULES) -> Any:
+    """Place a param pytree on the mesh under the TP rules (replicated when
+    ``rules`` is empty or nothing matches)."""
+    specs = tp_param_specs(params, rules)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def replicate_params(params: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)

@@ -1,0 +1,104 @@
+"""Training layer: loss, optimizer wiring, and a sharded train step.
+
+The reference has no training loop (SURVEY.md §0); this provides the
+standard JAX one, GSPMD-sharded: parameters are placed with NamedShardings
+from the TP rules (vit_tpu.parallel.sharding), the optimizer state inherits
+those shardings at ``init``, the batch is sharded over the data axis, and
+XLA inserts every collective (grad all-reduce over ``data``, psum over
+``model`` on the row-parallel projections). Shardings follow the data — the
+step itself is a plain ``jax.jit``.
+
+The train step traces through the XLA op path (``ops.force_backend('xla')``)
+so the partitioner can both shard and differentiate the compute; the Pallas
+kernels serve the inference path until they grow custom VJPs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vit_tpu import ops
+from vit_tpu.parallel.mesh import DATA_AXIS
+from vit_tpu.parallel.sharding import DEFAULT_TP_RULES, shard_params
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def make_optimizer(learning_rate: float = 1e-3, weight_decay: float = 0.05):
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    sample_images: jax.Array,
+    optimizer=None,
+    *,
+    mesh: Mesh = None,
+    tp_rules=DEFAULT_TP_RULES,
+) -> TrainState:
+    """Init params (TP-sharded over ``mesh`` when given) + optimizer state.
+
+    ``optimizer.init`` runs on the already-sharded params, so the Adam
+    moments inherit the same shardings without explicit annotation.
+    """
+    variables = model.init({"params": rng}, sample_images)
+    params = variables["params"]
+    if mesh is not None:
+        params = shard_params(params, mesh, tp_rules)
+    optimizer = optimizer or make_optimizer()
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, optimizer=None, *, dropout_seed: int = 0) -> Callable:
+    """Jitted ``step(state, images, labels) -> (state, loss)``.
+
+    Works on one chip or any mesh: place ``state``/batch with the desired
+    shardings (``create_train_state(mesh=...)`` + a ``P('data')`` batch) and
+    GSPMD partitions the step accordingly.
+    """
+    optimizer = optimizer or make_optimizer()
+
+    @jax.jit
+    def step(state: TrainState, images: jax.Array, labels: jax.Array):
+        def loss_fn(params):
+            with ops.force_backend("xla"):
+                logits = model.apply(
+                    {"params": params},
+                    images,
+                    True,
+                    rngs={
+                        "dropout": jax.random.fold_in(
+                            jax.random.PRNGKey(dropout_seed), state.step
+                        )
+                    },
+                )
+            if isinstance(logits, tuple):  # LeViT distillation head
+                logits = logits[0]
+            return cross_entropy_loss(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def shard_batch(batch: jax.Array, mesh: Mesh) -> jax.Array:
+    return jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))

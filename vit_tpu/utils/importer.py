@@ -1,0 +1,70 @@
+"""Reference-checkpoint importer (SURVEY.md §5 'checkpoint/resume' row).
+
+The reference names parameters by Flax call order (``Transformer_0/
+Attention_3/Dense_0`` — a consequence of its Python-loop stacking,
+SURVEY.md §3.1); this maps that layout onto this framework's named modules
+so reference-trained parameters run here and logit-parity tests can compare
+the two implementations on identical weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+
+def import_reference_vit_params(ref_params: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    """Map a reference ``vit.py`` param tree onto ``vit_tpu.models.ViT``.
+
+    Reference layout (vit.py): Dense_0 = patch projection, Dense_1 = head,
+    LayerNorm_0 = head norm, Transformer_0/{Attention_i, FeedForward_i,
+    PreNorm_{2i} (attn norm), PreNorm_{2i+1} (ff norm)}.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    tr = p["Transformer_0"]
+
+    encoder: Dict[str, Any] = {}
+    for i in range(depth):
+        attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
+        ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
+        attn = tr[f"Attention_{i}"]
+        ff = tr[f"FeedForward_{i}"]
+        encoder[f"attn_{i}"] = {
+            "norm": {"scale": attn_norm["scale"], "bias": attn_norm["bias"]},
+            "to_qkv": {"kernel": attn["Dense_0"]["kernel"]},
+            "to_out": {
+                "kernel": attn["Dense_1"]["kernel"],
+                "bias": attn["Dense_1"]["bias"],
+            },
+        }
+        encoder[f"ff_{i}"] = {
+            "ln_scale": ff_norm["scale"],
+            "ln_bias": ff_norm["bias"],
+            "w1": ff["Dense_0"]["kernel"],
+            "b1": ff["Dense_0"]["bias"],
+            "w2": ff["Dense_1"]["kernel"],
+            "b2": ff["Dense_1"]["bias"],
+        }
+
+    return {
+        "params": {
+            "cls": p["cls"],
+            "pos_embedding": p["pos_embedding"],
+            "patch_embed": {
+                "proj": {
+                    "kernel": p["Dense_0"]["kernel"],
+                    "bias": p["Dense_0"]["bias"],
+                }
+            },
+            "encoder": encoder,
+            "head_norm": {
+                "scale": p["LayerNorm_0"]["scale"],
+                "bias": p["LayerNorm_0"]["bias"],
+            },
+            "head": {
+                "kernel": p["Dense_1"]["kernel"],
+                "bias": p["Dense_1"]["bias"],
+            },
+        }
+    }
