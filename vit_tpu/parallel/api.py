@@ -51,6 +51,6 @@ def data_parallel_apply(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=P() if gather_logits else P(DATA_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
