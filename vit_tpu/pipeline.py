@@ -1,0 +1,119 @@
+"""Device-side preprocessing + batched inference pipeline (SURVEY.md §7.1
+item 6; the reference consumes pre-made random tensors and has no data
+path at all).
+
+``preprocess`` fuses resize / crop / normalize into the same XLA program as
+the model so raw uint8 images go host->device once and everything else
+stays on-chip. ``InferencePipeline`` wraps a model with preprocessing,
+optional data-parallel sharding, and fixed-batch padding (static shapes —
+one compiled program regardless of ragged final batches).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def resize_bilinear(img: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize on device, NHWC."""
+    b, _, _, c = img.shape
+    return jax.image.resize(img, (b, size[0], size[1], c), method="bilinear")
+
+
+def center_crop(img: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    _, h, w, _ = img.shape
+    th, tw = size
+    top, left = (h - th) // 2, (w - tw) // 2
+    return img[:, top : top + th, left : left + tw, :]
+
+
+def normalize(
+    img: jax.Array,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return ((img - mean) / std).astype(dtype)
+
+
+def preprocess(
+    raw: jax.Array,
+    *,
+    image_size: int,
+    resize_to: Optional[int] = None,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """uint8/float NHWC -> normalized model input, entirely in-graph.
+
+    Standard eval transform: scale to [0,1], resize so the short side is
+    ``resize_to`` (default: image_size * 256 // 224), center-crop, normalize.
+    """
+    img = raw.astype(jnp.float32)
+    if raw.dtype == jnp.uint8:
+        img = img / 255.0
+    resize_to = resize_to or max(image_size, int(image_size * 256 / 224))
+    img = resize_bilinear(img, (resize_to, resize_to))
+    img = center_crop(img, (image_size, image_size))
+    return normalize(img, mean, std, dtype)
+
+
+class InferencePipeline:
+    """Preprocess + forward in one compiled program, with fixed-batch
+    padding and optional data-parallel sharding."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        image_size: int,
+        batch_size: int = 64,
+        mesh=None,
+        dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.dtype = dtype
+
+        def run(variables, raw):
+            x = preprocess(raw, image_size=image_size, dtype=dtype)
+            return model.apply(variables, x)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from vit_tpu.parallel.mesh import DATA_AXIS
+
+            self._fn = jax.jit(
+                run,
+                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS))),
+            )
+        else:
+            self._fn = jax.jit(run)
+
+    def __call__(self, raw_images: np.ndarray) -> np.ndarray:
+        """Classify a host batch of any size; pads to the compiled batch."""
+        n = raw_images.shape[0]
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            chunk = raw_images[start : start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            logits = self._fn(self.variables, jnp.asarray(chunk))
+            outs.append(np.asarray(logits[: bs - pad if pad else bs]))
+        return np.concatenate(outs, axis=0)
