@@ -52,9 +52,10 @@ def test_tp_specs_match_rules():
     flat = {"/".join(str(getattr(k, "key", k)) for k in path): s
             for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]}
     qkv = [s for p, s in flat.items() if p.endswith("to_qkv/kernel")]
-    assert qkv and all(s == jax.sharding.PartitionSpec(None, "model") for s in qkv)
+    # scanned encoder: kernels carry a leading (unsharded) depth axis
+    assert qkv and all(s[-1] == "model" and all(a is None for a in s[:-1]) for s in qkv)
     w2 = [s for p, s in flat.items() if p.endswith("/w2")]
-    assert w2 and all(s == jax.sharding.PartitionSpec("model", None) for s in w2)
+    assert w2 and all(s[-2] == "model" and s[-1] is None for s in w2)
     heads = [s for p, s in flat.items() if p.startswith("head/")]
     assert all(s == jax.sharding.PartitionSpec() for s in heads)
 
@@ -74,5 +75,5 @@ def test_sharded_train_step_runs_and_learns():
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 5
     # params kept their TP shardings through the step
-    qkv = state.params["encoder"]["attn_0"]["to_qkv"]["kernel"]
+    qkv = state.params["encoder"]["blocks"]["attn"]["to_qkv"]["kernel"]
     assert "model" in str(qkv.sharding.spec)

@@ -141,6 +141,40 @@ class LayerScale(nn.Module):
         return x * scale.astype(x.dtype)
 
 
+class EncoderBlock(nn.Module):
+    """One pre-norm residual block: attention + feed-forward. The scan cell
+    the encoder stacks (one compiled block regardless of depth) — returns
+    the ``(carry, ())`` pair nn.scan expects."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    reattention: bool = False
+    mask_self: bool = False
+    learned_temperature: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = x + Attention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            reattention=self.reattention,
+            mask_self=self.mask_self,
+            learned_temperature=self.learned_temperature,
+            dtype=self.dtype,
+            name="attn",
+        )(x, deterministic=deterministic)
+        x = x + FeedForward(
+            self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name="ff"
+        )(x, deterministic=deterministic)
+        return x, ()
+
+
 class Transformer(nn.Module):
     """Standard pre-norm residual encoder with the zoo's variant hooks.
 
@@ -149,6 +183,11 @@ class Transformer(nn.Module):
     parallel_vit.py:99-107), CaiT patch/class stages (``layer_scale`` +
     in-graph stochastic ``layer_dropout``), and LSA (``mask_self`` +
     learned temperature).
+
+    ``scan=True`` (default for homogeneous stacks without context/branch/
+    layer-scale hooks) rolls the depth into ``nn.scan`` so XLA traces and
+    compiles ONE block — compile time is O(1) in depth instead of O(depth),
+    which matters at ViT-L/24 and ScalableViT's 20-deep stage.
     """
 
     dim: int
@@ -165,6 +204,7 @@ class Transformer(nn.Module):
     layer_dropout: float = 0.0
     parallel_branches: int = 1
     final_norm: bool = False
+    scan: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -174,6 +214,38 @@ class Transformer(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        use_scan = (
+            self.scan
+            and context is None
+            and not self.talking_heads
+            and not self.layer_scale
+            and self.layer_dropout == 0.0
+            and self.parallel_branches == 1
+            and self.depth > 1
+        )
+        if use_scan:
+            stacked = nn.scan(
+                EncoderBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+                in_axes=nn.broadcast,
+            )(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                mlp_dim=self.mlp_dim,
+                dropout=self.dropout,
+                reattention=self.reattention,
+                mask_self=self.mask_self,
+                learned_temperature=self.learned_temperature,
+                dtype=self.dtype,
+                name="blocks",
+            )
+            x, _ = stacked(x, deterministic)
+            if self.final_norm:
+                x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+            return x
         attn_kwargs = dict(
             dim=self.dim,
             heads=self.heads,

@@ -43,9 +43,12 @@ def tp_param_specs(params: Any, rules=DEFAULT_TP_RULES) -> Any:
         p = _path_str(path)
         for pattern, spec in rules:
             if re.match(pattern, p):
-                # only shard if the rank matches the spec's intent
-                if leaf.ndim >= len([a for a in spec if a is not None]):
-                    return spec
+                if leaf.ndim < len(spec):
+                    return P()
+                # right-align the spec: scanned encoders stack params with a
+                # leading depth axis, which stays unsharded.
+                pad = leaf.ndim - len(spec)
+                return P(*([None] * pad), *spec)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

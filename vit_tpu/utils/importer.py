@@ -14,38 +14,60 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 
-def import_reference_vit_params(ref_params: Dict[str, Any], depth: int) -> Dict[str, Any]:
+def import_reference_vit_params(
+    ref_params: Dict[str, Any], depth: int, *, scan: bool = True
+) -> Dict[str, Any]:
     """Map a reference ``vit.py`` param tree onto ``vit_tpu.models.ViT``.
 
     Reference layout (vit.py): Dense_0 = patch projection, Dense_1 = head,
     LayerNorm_0 = head norm, Transformer_0/{Attention_i, FeedForward_i,
     PreNorm_{2i} (attn norm), PreNorm_{2i+1} (ff norm)}.
+
+    ``scan=True`` (the encoder's default) stacks the per-layer params along
+    a leading depth axis for the nn.scan'd block; ``scan=False`` produces
+    the per-layer ``attn_i``/``ff_i`` layout.
     """
     p = ref_params["params"] if "params" in ref_params else ref_params
     tr = p["Transformer_0"]
 
-    encoder: Dict[str, Any] = {}
-    for i in range(depth):
+    def layer(i):
         attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
         ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
         attn = tr[f"Attention_{i}"]
         ff = tr[f"FeedForward_{i}"]
-        encoder[f"attn_{i}"] = {
-            "norm": {"scale": attn_norm["scale"], "bias": attn_norm["bias"]},
-            "to_qkv": {"kernel": attn["Dense_0"]["kernel"]},
-            "to_out": {
-                "kernel": attn["Dense_1"]["kernel"],
-                "bias": attn["Dense_1"]["bias"],
+        return (
+            {
+                "norm": {"scale": attn_norm["scale"], "bias": attn_norm["bias"]},
+                "to_qkv": {"kernel": attn["Dense_0"]["kernel"]},
+                "to_out": {
+                    "kernel": attn["Dense_1"]["kernel"],
+                    "bias": attn["Dense_1"]["bias"],
+                },
             },
+            {
+                "ln_scale": ff_norm["scale"],
+                "ln_bias": ff_norm["bias"],
+                "w1": ff["Dense_0"]["kernel"],
+                "b1": ff["Dense_0"]["bias"],
+                "w2": ff["Dense_1"]["kernel"],
+                "b2": ff["Dense_1"]["bias"],
+            },
+        )
+
+    encoder: Dict[str, Any] = {}
+    if scan and depth > 1:
+        import jax
+
+        attns, ffs = zip(*(layer(i) for i in range(depth)))
+        encoder["blocks"] = {
+            "attn": jax.tree.map(lambda *xs: jnp.stack(xs), *attns),
+            "ff": jax.tree.map(lambda *xs: jnp.stack(xs), *ffs),
         }
-        encoder[f"ff_{i}"] = {
-            "ln_scale": ff_norm["scale"],
-            "ln_bias": ff_norm["bias"],
-            "w1": ff["Dense_0"]["kernel"],
-            "b1": ff["Dense_0"]["bias"],
-            "w2": ff["Dense_1"]["kernel"],
-            "b2": ff["Dense_1"]["bias"],
-        }
+    else:
+        for i in range(depth):
+            a, f = layer(i)
+            encoder[f"attn_{i}"] = a
+            encoder[f"ff_{i}"] = f
 
     return {
         "params": {
