@@ -1,0 +1,76 @@
+"""Behavioral tests beyond forward shape: BN state handling, distillation
+head, variable input resolution (CrossFormer's DPB), CaiT stochastic depth,
+and PiT's working pooling (the reference's never ran, bug register #2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.models import CaiT, CrossFormer, LeViT, PiT
+
+
+def test_levit_batchnorm_state_and_distill():
+    model = LeViT(image_size=64, num_classes=10, stages=2, dim=(32, 32), depth=1,
+                  heads=(1, 2), mlp_mult=2, dim_key=16, dim_value=16,
+                  num_distill_classes=5)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    assert "batch_stats" in variables
+
+    # train mode updates the running stats
+    (out, distill), new_state = model.apply(
+        variables, img, True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 10) and distill.shape == (2, 5)
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(new_state["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+    # inference uses stored stats, needs no mutability, is deterministic
+    out1, _ = model.apply(variables, img)
+    out2, _ = model.apply(variables, img)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_crossformer_variable_resolution():
+    """DPB makes CrossFormer input-size flexible (README.md:94): the same
+    params must run at a second resolution (window-compatible)."""
+    model = CrossFormer(num_classes=10, dim=(32, 64), depth=(1, 1),
+                        global_window_size=(4, 2), local_window_size=7,
+                        cross_embed_kernel_sizes=((4, 8), (2, 4)),
+                        cross_embed_strides=(4, 2))
+    img1 = jax.random.normal(jax.random.PRNGKey(0), (1, 112, 112, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img1)
+    out1 = model.apply(variables, img1)
+    img2 = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
+    out2 = model.apply(variables, img2)  # same params, bigger fmaps
+    assert out1.shape == out2.shape == (1, 10)
+
+
+def test_cait_stochastic_depth_in_graph():
+    model = CaiT(image_size=32, patch_size=8, num_classes=10, dim=32, depth=2,
+                 cls_depth=1, heads=2, mlp_dim=64, dim_head=16, layer_dropout=0.5)
+    img = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    # different rng -> different subnetwork (in-graph gate; the reference's
+    # fixed-PRNGKey(0) host-side dropout produced one mask forever)
+    o1 = model.apply(variables, img, True, rngs={"dropout": jax.random.PRNGKey(2)})
+    o2 = model.apply(variables, img, True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    # inference: gates off, deterministic
+    d1 = model.apply(variables, img)
+    d2 = model.apply(variables, img)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_pit_pools_tokens_and_doubles_dim():
+    model = PiT(image_size=64, patch_size=8, num_classes=10, dim=32,
+                depth=(1, 1), heads=2, mlp_dim=64, dim_head=16)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    # the pool layer exists and projects to 2*dim
+    pool = variables["params"]["pool_0"]
+    assert pool["cls_proj"]["kernel"].shape == (32, 64)
+    out = model.apply(variables, img)
+    assert out.shape == (1, 10)

@@ -61,6 +61,34 @@ class TestFlashAttention:
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
+class TestFusedQKVAttention:
+    @pytest.mark.parametrize("n,heads,d", [(197, 16, 64), (64, 4, 32), (50, 2, 48)])
+    def test_matches_split_path(self, n, heads, d):
+        from vit_tpu.ops.qkv_attention import fused_qkv_attention
+
+        b = 2
+        qkv = rand(0, (b, n, 3 * heads * d))
+        out = fused_qkv_attention(qkv, heads, interpret=True)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+        ref = reference_attention(split(q), split(k), split(v))
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_with_bias_and_ragged_q_blocks(self):
+        from vit_tpu.ops.qkv_attention import fused_qkv_attention
+
+        b, n, heads, d = 2, 300, 4, 32  # n > block_q forces ragged tiling
+        qkv = rand(0, (b, n, 3 * heads * d))
+        bias = rand(1, (1, heads, n, n))
+        out = fused_qkv_attention(qkv, heads, bias, block_q=256, interpret=True)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+        ref = reference_attention(split(q), split(k), split(v), bias)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
 class TestFusedMLP:
     @pytest.mark.parametrize("t,d,f", [(65, 96, 384), (197, 128, 512), (64, 256, 1100)])
     def test_matches_reference(self, t, d, f):

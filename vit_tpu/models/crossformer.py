@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from vit_tpu import ops
 from vit_tpu.core.utils import cast_tuple
-from vit_tpu.nn.attention import mha_tokens
 from vit_tpu.nn.bias import DynamicPositionBias
 from vit_tpu.nn.conv import ConvMLP, CrossEmbedLayer
 
@@ -55,10 +54,9 @@ class _LSDAttention(nn.Module):
             qkv = ops.window_partition(qkv, wsz)
         else:
             qkv = ops.dilated_partition(qkv, wsz)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         bias = DynamicPositionBias(self.dim // 4, heads, name="dpb")(wsz)
-        out = mha_tokens(q, k, v, heads, bias=bias.astype(jnp.float32))
+        out = ops.qkv_attention(qkv, heads, bias=bias.astype(jnp.float32))
 
         if self.attn_type == "short":
             out = ops.window_unpartition(out, wsz, h, w)

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from vit_tpu import ops
 from vit_tpu.core.utils import cast_tuple
-from vit_tpu.nn.attention import mha_tokens
 from vit_tpu.nn.conv import Aggregate, ConvMLP
 
 
@@ -41,8 +40,9 @@ class _BlockAttention(nn.Module):
         inner = dim_head * self.heads
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(b, h * w, inner * 3), 3, axis=-1)
-        out = mha_tokens(q, k, v, self.heads, scale=dim_head**-0.5)
+        out = ops.qkv_attention(
+            qkv.reshape(b, h * w, inner * 3), self.heads, scale=dim_head**-0.5
+        )
         out = out.reshape(b, h, w, inner)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)

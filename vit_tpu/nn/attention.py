@@ -118,17 +118,7 @@ class Attention(nn.Module):
                 context = nn.LayerNorm(dtype=self.dtype, name="norm_context")(context)
             kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
 
-        if context is None and not kv_include_self:
-            qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
-            kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(kv_src)
-            k, v = jnp.split(kv, 2, axis=-1)
-
-        q = split_heads(q, self.heads)
-        k = split_heads(k, self.heads)
-        v = split_heads(v, self.heads)
+        is_self = context is None and not kv_include_self
 
         if self.learned_temperature:
             # LSA: scale = exp(log_tau), a learned scalar initialized so the
@@ -147,6 +137,27 @@ class Attention(nn.Module):
             or (self.dropout > 0.0 and not deterministic)
             or self.learned_temperature  # traced scale -> XLA path
         )
+
+        if is_self:
+            qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
+            if not needs_materialized and not self.mask_self:
+                # zero-copy path: attention straight off the fused projection
+                out = ops.qkv_attention(qkv, self.heads, bias=bias, scale=scale)
+                if project_out:
+                    out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+                    out = nn.Dropout(self.dropout, name="out_drop")(
+                        out, deterministic=deterministic
+                    )
+                return out
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+            kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(kv_src)
+            k, v = jnp.split(kv, 2, axis=-1)
+
+        q = split_heads(q, self.heads)
+        k = split_heads(k, self.heads)
+        v = split_heads(v, self.heads)
 
         if not needs_materialized:
             out = ops.attention(q, k, v, bias=bias, scale=scale, mask_self=self.mask_self)

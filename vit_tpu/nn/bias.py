@@ -87,13 +87,13 @@ class DynamicPositionBias(nn.Module):
         offs = np.stack(np.meshgrid(np.arange(span), np.arange(span), indexing="ij"), -1)
         offs = offs.reshape(-1, 2) - (w - 1)
         h = jnp.asarray(offs, jnp.float32)
-        h = nn.Dense(self.dim // 4, name="fc0")(h)
+        h = nn.Dense(self.dim, name="fc0")(h)
         h = nn.LayerNorm(name="ln0")(h)
         h = nn.relu(h)
-        h = nn.Dense(self.dim // 4, name="fc1")(h)
+        h = nn.Dense(self.dim, name="fc1")(h)
         h = nn.LayerNorm(name="ln1")(h)
         h = nn.relu(h)
-        h = nn.Dense(self.dim // 4, name="fc2")(h)
+        h = nn.Dense(self.dim, name="fc2")(h)
         h = nn.LayerNorm(name="ln2")(h)
         h = nn.relu(h)
         h = nn.Dense(self.heads, name="fc3")(h)  # [span*span, heads]

@@ -18,6 +18,7 @@ import jax
 
 from vit_tpu.ops.flash_attention import flash_attention, reference_attention
 from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
+from vit_tpu.ops.qkv_attention import fused_qkv_attention
 from vit_tpu.ops.patch_embed import (  # noqa: F401
     extract_patches,
     patchify,
@@ -95,6 +96,28 @@ def attention(
     return flash_attention(
         q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
     )
+
+
+def qkv_attention(qkv, heads: int, bias=None, *, scale: Optional[float] = None):
+    """Dispatching self-attention on the fused qkv layout ``[B, N, 3*H*D]``.
+
+    The TPU path is the zero-copy head-sliced kernel; the XLA path splits
+    heads explicitly (the compiler fuses those transposes into the GEMMs).
+    """
+    mode = backend_mode()
+    if mode != "xla":
+        return fused_qkv_attention(
+            qkv, heads, bias, scale=scale, interpret=(mode == "interpret")
+        )
+    import jax.numpy as jnp
+
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    out = reference_attention(split(q), split(k), split(v), bias, scale=scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
 
 
 def mlp(

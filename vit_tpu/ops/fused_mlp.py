@@ -153,16 +153,15 @@ def fused_mlp(
 
     block_t = min(block_t, round_up(t, 8))
     block_f = min(block_f, round_up(f, _LANES))
-    t_pad = round_up(t, block_t)
     f_pad = round_up(f, block_f)
 
-    if t_pad != t:
-        xf = jnp.pad(xf, ((0, t_pad - t), (0, 0)))
+    # token tiles may be ragged (Pallas masks the stores); the hidden dim is
+    # zero-padded so padded columns contribute exactly zero to the second GEMM
     w1p = jnp.pad(w1, ((0, 0), (0, f_pad - f))) if f_pad != f else w1
     w2p = jnp.pad(w2, ((0, f_pad - f), (0, 0))) if f_pad != f else w2
     b1p = jnp.pad(b1, (0, f_pad - f)) if f_pad != f else b1
 
-    n_t = cdiv(t_pad, block_t)
+    n_t = cdiv(t, block_t)
     n_f = cdiv(f_pad, block_f)
     grid = (n_t, n_f)
 
@@ -188,7 +187,7 @@ def fused_mlp(
             pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_t, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((t, d), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_t, d), x.dtype),
             pltpu.VMEM((block_t, d), jnp.float32),
@@ -209,7 +208,7 @@ def fused_mlp(
         b2.reshape(1, d),
     )
 
-    return out[:t].reshape(orig_shape)
+    return out.reshape(orig_shape)
 
 
 def reference_mlp(
