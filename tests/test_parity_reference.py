@@ -42,6 +42,49 @@ def test_vit_logit_parity(reference_vit):
     )
 
 
+def test_deepvit_logit_parity():
+    ref_mod = pytest.importorskip("deepvit")
+    from vit_tpu.models import DeepViT
+    from vit_tpu.utils import import_reference_deepvit_params
+
+    cfg = dict(image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+               heads=4, mlp_dim=128)
+    model = ref_mod.DeepViT(**cfg, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = DeepViT(**cfg)
+    params = import_reference_deepvit_params(ref_params, cfg["depth"])
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=2e-5, rtol=2e-4
+    )
+
+
+def test_lsa_spt_logit_parity():
+    ref_mod = pytest.importorskip("vit_small_datasets")
+    from vit_tpu.models import ViTSmallDatasets
+    from vit_tpu.utils import import_reference_lsa_params
+
+    cfg = dict(image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+               heads=4, mlp_dim=128)
+    model = ref_mod.ViT(**cfg, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = ViTSmallDatasets(**cfg)
+    params = import_reference_lsa_params(ref_params, cfg["depth"], dim_head=64)
+    our_logits = ours.apply(params, img)
+    # reference PreNorm eps is 1e-5 vs our 1e-6; tolerance covers it
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

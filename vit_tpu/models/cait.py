@@ -143,5 +143,5 @@ class CaiT(nn.Module):
         )(cls_tokens, context=x, deterministic=not train)
 
         out = cls_tokens[:, 0]
-        out = nn.LayerNorm(dtype=self.dtype, name="head_norm")(out)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(out)
+        out = nn.LayerNorm(dtype=jnp.float32, name="head_norm")(out)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(out)

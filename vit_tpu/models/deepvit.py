@@ -70,5 +70,5 @@ class DeepViT(nn.Module):
         )(x, deterministic=not train)
 
         x = x[:, 0] if self.pool == "cls" else jnp.mean(x, axis=1)
-        x = nn.LayerNorm(dtype=self.dtype, name="head_norm")(x)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="head_norm")(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

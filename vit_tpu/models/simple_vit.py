@@ -58,4 +58,4 @@ class SimpleViT(nn.Module):
         )(x, deterministic=not train)
 
         x = jnp.mean(x, axis=1)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

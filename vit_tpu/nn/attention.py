@@ -109,13 +109,13 @@ class Attention(nn.Module):
         )
 
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
 
         if context is None:
             kv_src = x
         else:
             if self.pre_norm:
-                context = nn.LayerNorm(dtype=self.dtype, name="norm_context")(context)
+                context = nn.LayerNorm(dtype=jnp.float32, name="norm_context")(context)
             kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
 
         is_self = context is None and not kv_include_self

@@ -85,7 +85,7 @@ class FeedForward(nn.Module):
             return h
 
         out = ops.mlp(
-            x.astype(dtype),
+            x,
             cast(w1),
             cast(b1),
             cast(w2),

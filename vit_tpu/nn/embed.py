@@ -45,7 +45,9 @@ class SPT(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = ops.spt_shifts(x)
         x = ops.patchify(x, self.patch_size)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(
+            epsilon=1e-5, use_bias=False, dtype=self.dtype, name="norm"
+        )(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 
 

@@ -133,8 +133,14 @@ def mlp(
     residual: bool = True,
     ln_eps: float = 1e-6,
 ):
-    """Dispatching fused MLP block over tokens ``[..., T, D]``."""
-    mode = backend_mode()
+    """Dispatching fused MLP block over tokens ``[..., T, D]``.
+
+    ``VIT_TPU_MLP`` (pallas/xla/interpret) overrides the global backend for
+    this op alone — at ViT-L shapes XLA's two separate GEMMs measure ~2%
+    faster than the fused kernel (scripts/tune_mlp.py), so benchmarking both
+    stays one env var away.
+    """
+    mode = os.environ.get("VIT_TPU_MLP") or backend_mode()
     if mode == "xla":
         return reference_mlp(
             x, w1, b1, w2, b2, ln_scale, ln_bias,

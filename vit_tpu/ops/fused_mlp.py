@@ -73,11 +73,14 @@ def _mlp_kernel(
         xn_scratch[:] = x.astype(xn_scratch.dtype)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    # bf16 runs natively on the MXU; fp32 inputs request full precision
-    # (the TPU default would decompose fp32 to one bf16 pass).
+    # GEMM precision follows the weight dtype: bf16 weights run natively on
+    # the MXU; fp32 weights request full precision (the TPU default would
+    # decompose fp32 to one bf16 pass). The mixed-precision policy (fp32
+    # residual stream, bf16 MXU) enters here as fp32 x with bf16 weights —
+    # the normalized activations are cast once, in VMEM.
     precision = (
         jax.lax.Precision.HIGHEST
-        if x_ref.dtype == jnp.float32
+        if w1_ref.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
     xn = xn_scratch[:]
@@ -120,7 +123,7 @@ def fused_mlp(
     residual: bool = True,
     ln_eps: float = 1e-6,
     block_t: int = 256,
-    block_f: int = 512,
+    block_f: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused ``(LN ->) x@W1+b1 -> act -> @W2+b2 (-> +x)`` over tokens.
@@ -189,7 +192,7 @@ def fused_mlp(
         out_specs=pl.BlockSpec((block_t, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_t, d), x.dtype),
+            pltpu.VMEM((block_t, d), w1.dtype),  # normalized x, in MXU dtype
             pltpu.VMEM((block_t, d), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -229,12 +232,12 @@ def reference_mlp(
     if ln_scale is not None:
         lb = ln_bias if ln_bias is not None else jnp.zeros_like(ln_scale)
         h = _layer_norm_f32(h, ln_scale.astype(jnp.float32), lb.astype(jnp.float32), ln_eps)
-    h = h.astype(x.dtype)
+    h = h.astype(w1.dtype)  # MXU dtype follows the weights (mixed precision)
     h = jnp.dot(h, w1, preferred_element_type=jnp.float32)
     if b1 is not None:
         h = h + b1.astype(h.dtype)
     h = _activate(h, activation)
-    h = jnp.dot(h.astype(x.dtype), w2, preferred_element_type=jnp.float32)
+    h = jnp.dot(h.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
     if b2 is not None:
         h = h + b2.astype(h.dtype)
     if residual:

@@ -68,19 +68,23 @@ def extract_patches(
 def spt_shifts(x: jax.Array) -> jax.Array:
     """Shifted Patch Tokenization input expansion (vit_small_datasets.py:15-46).
 
-    Concatenates the image with four 1-px diagonal shifts along channels:
-    ``[B, H, W, C] -> [B, H, W, 5C]``.
+    Concatenates the image with four zero-filled 1-px shifts along channels:
+    ``[B, H, W, C] -> [B, H, W, 5C]`` in the reference's order
+    [x, right, left, down, up]. (The SPT paper shifts diagonally; the
+    reference shifts axis-aligned — matched here so trained reference
+    weights import cleanly.)
     """
-    shifts = ((1, -1, 1, -1), (-1, 1, 1, -1), (1, -1, -1, 1), (-1, 1, -1, 1))
+    # (height_shift, width_shift): right, left, down, up
+    shifts = ((0, 1), (0, -1), (1, 0), (-1, 0))
     pieces = [x]
-    for top, bottom, left, right in shifts:
+    for dy, dx in shifts:
         padded = jnp.pad(
             x,
-            ((0, 0), (max(top, 0), max(bottom, 0)), (max(left, 0), max(right, 0)), (0, 0)),
+            ((0, 0), (max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0)), (0, 0)),
         )
-        h0 = max(-top, 0)
-        w0 = max(-left, 0)
-        pieces.append(padded[:, h0 : h0 + x.shape[1], w0 : w0 + x.shape[2], :])
+        y0 = max(-dy, 0)
+        x0 = max(-dx, 0)
+        pieces.append(padded[:, y0 : y0 + x.shape[1], x0 : x0 + x.shape[2], :])
     return jnp.concatenate(pieces, axis=-1)
 
 

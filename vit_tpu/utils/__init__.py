@@ -1,1 +1,5 @@
-from vit_tpu.utils.importer import import_reference_vit_params  # noqa: F401
+from vit_tpu.utils.importer import (  # noqa: F401
+    import_reference_deepvit_params,
+    import_reference_lsa_params,
+    import_reference_vit_params,
+)

@@ -14,6 +14,120 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 
+def import_reference_deepvit_params(
+    ref_params: Dict[str, Any], depth: int, *, scan: bool = True
+) -> Dict[str, Any]:
+    """Map a reference ``deepvit.py`` tree onto ``vit_tpu.models.DeepViT``.
+
+    DeepViT layout matches vit.py plus per-layer ``reattn_weights`` and a
+    re-attention LayerNorm inside each Attention (deepvit.py:68-72). Note
+    the reattention path never scans (talking XLA path), so this importer
+    always emits per-layer modules.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    tr = p["Transformer_0"]
+    out = import_reference_vit_params(ref_params, depth, scan=scan)
+    enc = out["params"]["encoder"]
+
+    def reattn(i):
+        a = tr[f"Attention_{i}"]
+        ln = a["LayerNorm_0"]
+        return a["reattn_weights"], {"scale": ln["scale"], "bias": ln["bias"]}
+
+    if scan and depth > 1:
+        import jax
+
+        ws, lns = zip(*(reattn(i) for i in range(depth)))
+        enc["blocks"]["attn"]["reattn_weights"] = jnp.stack(ws)
+        enc["blocks"]["attn"]["reattn_norm"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *lns
+        )
+    else:
+        for i in range(depth):
+            w, ln = reattn(i)
+            enc[f"attn_{i}"]["reattn_weights"] = w
+            enc[f"attn_{i}"]["reattn_norm"] = ln
+    return out
+
+
+def import_reference_lsa_params(
+    ref_params: Dict[str, Any], depth: int, dim_head: int = 64, *, scan: bool = True
+) -> Dict[str, Any]:
+    """Map a reference ``vit_small_datasets.py`` tree onto
+    ``vit_tpu.models.ViTSmallDatasets``.
+
+    Layout: SPT_0 tokenizer, Transformer_0/{LSA_i, FeedForward_i,
+    PreNorm_i (scale-only LNs)}, top-level LayerNorm_0 (head, scale-only) and
+    Dense_0 (head). The reference's constant LSA temperature becomes our
+    learned ``log_temperature`` initialized to the same value.
+    """
+    import jax
+
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    tr = p["Transformer_0"]
+    log_tau = jnp.log(jnp.asarray(dim_head, jnp.float32) ** -0.5)
+
+    def layer(i):
+        attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
+        ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
+        attn = tr[f"LSA_{i}"]
+        ff = tr[f"FeedForward_{i}"]
+        zeros = jnp.zeros_like(attn_norm["scale"])
+        return (
+            {
+                "norm": {"scale": attn_norm["scale"], "bias": zeros},
+                "to_qkv": {"kernel": attn["Dense_0"]["kernel"]},
+                "to_out": {
+                    "kernel": attn["Dense_1"]["kernel"],
+                    "bias": attn["Dense_1"]["bias"],
+                },
+                "log_temperature": log_tau,
+            },
+            {
+                "ln_scale": ff_norm["scale"],
+                "ln_bias": jnp.zeros_like(ff_norm["scale"]),
+                "w1": ff["Dense_0"]["kernel"],
+                "b1": ff["Dense_0"]["bias"],
+                "w2": ff["Dense_1"]["kernel"],
+                "b2": ff["Dense_1"]["bias"],
+            },
+        )
+
+    encoder: Dict[str, Any] = {}
+    if scan and depth > 1:
+        attns, ffs = zip(*(layer(i) for i in range(depth)))
+        encoder["blocks"] = {
+            "attn": jax.tree.map(lambda *xs: jnp.stack(xs), *attns),
+            "ff": jax.tree.map(lambda *xs: jnp.stack(xs), *ffs),
+        }
+    else:
+        for i in range(depth):
+            a, f = layer(i)
+            encoder[f"attn_{i}"] = a
+            encoder[f"ff_{i}"] = f
+
+    head_scale = p["LayerNorm_0"]["scale"]
+    return {
+        "params": {
+            "cls": p["cls"],
+            "pos_embedding": p["pos_embedding"],
+            "spt": {
+                "norm": {"scale": p["SPT_0"]["LayerNorm_0"]["scale"]},
+                "proj": {
+                    "kernel": p["SPT_0"]["Dense_0"]["kernel"],
+                    "bias": p["SPT_0"]["Dense_0"]["bias"],
+                },
+            },
+            "encoder": encoder,
+            "head_norm": {"scale": head_scale, "bias": jnp.zeros_like(head_scale)},
+            "head": {
+                "kernel": p["Dense_0"]["kernel"],
+                "bias": p["Dense_0"]["bias"],
+            },
+        }
+    }
+
+
 def import_reference_vit_params(
     ref_params: Dict[str, Any], depth: int, *, scan: bool = True
 ) -> Dict[str, Any]:
