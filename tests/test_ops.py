@@ -117,6 +117,45 @@ class TestFusedMLP:
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+class TestCustomVJP:
+    def test_qkv_attention_grads_match_xla(self):
+        from vit_tpu.ops.qkv_attention import fused_qkv_attention, xla_qkv_attention
+
+        b, n, heads, d = 2, 50, 4, 32
+        qkv = rand(0, (b, n, 3 * heads * d))
+        bias = rand(1, (1, heads, n, n))
+
+        def loss_pallas(qkv, bias):
+            return jnp.sum(fused_qkv_attention(qkv, heads, bias, interpret=True) ** 2)
+
+        def loss_xla(qkv, bias):
+            return jnp.sum(xla_qkv_attention(qkv, heads, bias) ** 2)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1))(qkv, bias)
+        g2 = jax.grad(loss_xla, argnums=(0, 1))(qkv, bias)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(a, b_, atol=1e-4, rtol=1e-4)
+
+    def test_fused_mlp_grads_match_xla(self):
+        from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
+
+        x = rand(0, (2, 40, 64))
+        w1, b1 = rand(1, (64, 128)) * 0.1, rand(2, (128,)) * 0.1
+        w2, b2 = rand(3, (128, 64)) * 0.1, rand(4, (64,)) * 0.1
+        g, bl = rand(5, (64,)), rand(6, (64,))
+
+        def loss_pallas(*a):
+            return jnp.sum(fused_mlp(*a, interpret=True) ** 2)
+
+        def loss_xla(*a):
+            return jnp.sum(reference_mlp(*a) ** 2)
+
+        g1 = jax.grad(loss_pallas, argnums=tuple(range(7)))(x, w1, b1, w2, b2, g, bl)
+        g2 = jax.grad(loss_xla, argnums=tuple(range(7)))(x, w1, b1, w2, b2, g, bl)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)
+
+
 class TestPatchOps:
     def test_patchify_roundtrip(self):
         x = rand(0, (2, 32, 32, 3))

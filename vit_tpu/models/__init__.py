@@ -112,9 +112,11 @@ MODEL_REGISTRY = {
     ),
     "twins_svt": (
         TwinsSVT,
-        dict(num_classes=10, s1_emb_dim=16, s1_depth=1, s2_emb_dim=16, s2_depth=1,
-             s3_emb_dim=32, s3_depth=1, s4_emb_dim=32, s4_depth=1),
-        224,
+        dict(num_classes=10, s1_emb_dim=16, s1_depth=1, s1_local_patch_size=4,
+             s1_global_k=4, s2_emb_dim=16, s2_depth=1, s2_local_patch_size=4,
+             s2_global_k=4, s3_emb_dim=32, s3_depth=1, s3_local_patch_size=4,
+             s3_global_k=2, s4_emb_dim=32, s4_depth=1, s4_global_k=2),
+        64,
     ),
     "nest": (
         NesT,

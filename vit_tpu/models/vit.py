@@ -34,6 +34,10 @@ class ViT(nn.Module):
     dropout: float = 0.0
     emb_dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    # Mixed precision: keep the residual stream in this dtype while the
+    # GEMMs run in ``dtype`` (set fp32 + bf16 for near-fp32 logits at
+    # bf16 MXU speed). None = residual stream follows ``dtype``.
+    residual_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
@@ -44,6 +48,8 @@ class ViT(nn.Module):
         num_patches = (ih // ph) * (iw // pw)
 
         x = PatchEmbed(self.dim, ph, dtype=self.dtype, name="patch_embed")(img)
+        if self.residual_dtype is not None:
+            x = x.astype(self.residual_dtype)
         b = x.shape[0]
 
         cls = self.param(

@@ -135,12 +135,18 @@ def mlp(
 ):
     """Dispatching fused MLP block over tokens ``[..., T, D]``.
 
-    ``VIT_TPU_MLP`` (pallas/xla/interpret) overrides the global backend for
-    this op alone — at ViT-L shapes XLA's two separate GEMMs measure ~2%
-    faster than the fused kernel (scripts/tune_mlp.py), so benchmarking both
-    stays one env var away.
+    ``VIT_TPU_MLP`` (pallas/xla/interpret) overrides the backend for this op
+    alone. Default on TPU is the XLA path: in the full model XLA fuses the
+    residual adds and neighboring elementwise into the GEMMs and measures
+    ~10% faster than the fused Pallas kernel at ViT-L shapes (1109 vs 1007
+    img/s; scripts/tune_mlp.py + combo bench). The Pallas kernel remains one
+    env var away and is the path for future in-kernel fusion work.
     """
-    mode = os.environ.get("VIT_TPU_MLP") or backend_mode()
+    mode = os.environ.get("VIT_TPU_MLP")
+    if mode is None:
+        mode = backend_mode()
+        if mode == "pallas":
+            mode = "xla"
     if mode == "xla":
         return reference_mlp(
             x, w1, b1, w2, b2, ln_scale, ln_bias,

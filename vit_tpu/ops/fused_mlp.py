@@ -99,6 +99,66 @@ def _mlp_kernel(
         o_ref[:] = out.astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _mlp_ad(x, w1, b1, w2, b2, ln_scale, ln_bias,
+            activation, residual, ln_eps, block_t, block_f, interpret):
+    return _fused_mlp_impl(
+        x, w1, b1, w2, b2, ln_scale, ln_bias,
+        activation=activation, residual=residual, ln_eps=ln_eps,
+        block_t=block_t, block_f=block_f, interpret=interpret,
+    )
+
+
+def _mlp_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias,
+             activation, residual, ln_eps, block_t, block_f, interpret):
+    out = _fused_mlp_impl(
+        x, w1, b1, w2, b2, ln_scale, ln_bias,
+        activation=activation, residual=residual, ln_eps=ln_eps,
+        block_t=block_t, block_f=block_f, interpret=interpret,
+    )
+    return out, (x, w1, b1, w2, b2, ln_scale, ln_bias)
+
+
+def _mlp_bwd(activation, residual, ln_eps, block_t, block_f, interpret, res, g):
+    # rematerializing backward through the XLA reference (exact gradients;
+    # the hidden activations only exist inside this backward pass).
+    args = res
+
+    def f(*diff_args):
+        return reference_mlp(
+            *diff_args, activation=activation, residual=residual, ln_eps=ln_eps
+        )
+
+    _, vjp = jax.vjp(f, *args)
+    return vjp(g.astype(args[0].dtype))
+
+
+_mlp_ad.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+def fused_mlp(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: Optional[jax.Array],
+    w2: jax.Array,
+    b2: Optional[jax.Array],
+    ln_scale: Optional[jax.Array] = None,
+    ln_bias: Optional[jax.Array] = None,
+    *,
+    activation: str = "gelu",
+    residual: bool = True,
+    ln_eps: float = 1e-6,
+    block_t: int = 256,
+    block_f: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward."""
+    return _mlp_ad(
+        x, w1, b1, w2, b2, ln_scale, ln_bias,
+        activation, residual, ln_eps, block_t, block_f, interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -110,7 +170,7 @@ def _mlp_kernel(
         "interpret",
     ),
 )
-def fused_mlp(
+def _fused_mlp_impl(
     x: jax.Array,
     w1: jax.Array,
     b1: Optional[jax.Array],

@@ -68,10 +68,75 @@ def _kernel(
         ).astype(o_ref.dtype)
 
 
+def xla_qkv_attention(qkv, heads, bias=None, *, scale=None):
+    """Plain-XLA self-attention on the fused layout — numerical reference,
+    CPU fallback, and the recompute used by the custom backward pass."""
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // heads
+    if scale is None:
+        scale = d**-0.5
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias is not None:
+        s = s + bias.astype(s.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
+def _qkv_attention_ad(qkv, heads, bias, scale, block_q, interpret):
+    return _fused_qkv_attention_impl(
+        qkv, heads, bias, scale=scale, block_q=block_q, interpret=interpret
+    )
+
+
+def _qkv_attention_fwd(qkv, heads, bias, scale, block_q, interpret):
+    out = _fused_qkv_attention_impl(
+        qkv, heads, bias, scale=scale, block_q=block_q, interpret=interpret
+    )
+    return out, (qkv, bias)
+
+
+def _qkv_attention_bwd(heads, scale, block_q, interpret, res, g):
+    # flash-style rematerialization: recompute attention under XLA's autodiff
+    # (exact gradients; the n x n matrix only exists inside this backward).
+    qkv, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda a: xla_qkv_attention(a, heads, None, scale=scale), qkv)
+        (dqkv,) = vjp(g)
+        return (dqkv, None)
+    _, vjp = jax.vjp(lambda a, b: xla_qkv_attention(a, heads, b, scale=scale), qkv, bias)
+    dqkv, dbias = vjp(g)
+    return (dqkv, dbias)
+
+
+_qkv_attention_ad.defvjp(_qkv_attention_fwd, _qkv_attention_bwd)
+
+
+def fused_qkv_attention(
+    qkv: jax.Array,
+    heads: int,
+    bias: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward."""
+    if scale is None:
+        scale = (qkv.shape[-1] // 3 // heads) ** -0.5
+    return _qkv_attention_ad(qkv, heads, bias, float(scale), block_q, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "block_q", "interpret")
 )
-def fused_qkv_attention(
+def _fused_qkv_attention_impl(
     qkv: jax.Array,
     heads: int,
     bias: Optional[jax.Array] = None,
