@@ -117,6 +117,36 @@ class TestFusedMLP:
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+class TestFusedAttentionBlock:
+    def test_matches_xla(self):
+        from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
+
+        b, n, dim, heads, d = 2, 65, 64, 4, 16
+        x = rand(0, (b, n, dim))
+        ln_s, ln_b = rand(1, (dim,)), rand(2, (dim,))
+        wqkv = rand(3, (dim, 3 * heads * d)) * 0.1
+        wout = rand(4, (heads * d, dim)) * 0.1
+        bout = rand(5, (dim,)) * 0.1
+        out = fused_attention_block(x, ln_s, ln_b, wqkv, wout, bout, heads, interpret=True)
+        ref = xla_attention_block(x, ln_s, ln_b, wqkv, wout, bout, heads, d**-0.5)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_xla(self):
+        from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
+
+        b, n, dim, heads, d = 1, 30, 32, 2, 16
+        args = (rand(0, (b, n, dim)), rand(1, (dim,)), rand(2, (dim,)),
+                rand(3, (dim, 3 * heads * d)) * 0.1,
+                rand(4, (heads * d, dim)) * 0.1, rand(5, (dim,)) * 0.1)
+
+        g1 = jax.grad(lambda *a: jnp.sum(
+            fused_attention_block(*a, heads, interpret=True) ** 2), argnums=tuple(range(6)))(*args)
+        g2 = jax.grad(lambda *a: jnp.sum(
+            xla_attention_block(*a, heads, d**-0.5) ** 2), argnums=tuple(range(6)))(*args)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)
+
+
 class TestCustomVJP:
     def test_qkv_attention_grads_match_xla(self):
         from vit_tpu.ops.qkv_attention import fused_qkv_attention, xla_qkv_attention

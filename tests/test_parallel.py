@@ -51,7 +51,7 @@ def test_tp_specs_match_rules():
     specs = tp_param_specs(variables["params"])
     flat = {"/".join(str(getattr(k, "key", k)) for k in path): s
             for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]}
-    qkv = [s for p, s in flat.items() if p.endswith("to_qkv/kernel")]
+    qkv = [s for p, s in flat.items() if p.endswith("qkv_kernel")]
     # scanned encoder: kernels carry a leading (unsharded) depth axis
     assert qkv and all(s[-1] == "model" and all(a is None for a in s[:-1]) for s in qkv)
     w2 = [s for p, s in flat.items() if p.endswith("/w2")]
@@ -75,5 +75,5 @@ def test_sharded_train_step_runs_and_learns():
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 5
     # params kept their TP shardings through the step
-    qkv = state.params["encoder"]["blocks"]["attn"]["to_qkv"]["kernel"]
+    qkv = state.params["encoder"]["blocks"]["attn"]["qkv_kernel"]
     assert "model" in str(qkv.sharding.spec)

@@ -85,6 +85,36 @@ def test_lsa_spt_logit_parity():
     )
 
 
+def test_simple_vit_logit_parity():
+    """The reference simple_vit crashes on modern JAX (removed Array.split
+    method, bug register #12); a shim restores it so the obvious-intent
+    behavior can serve as the parity golden (SURVEY.md §4)."""
+    import jax.numpy as _jnp
+    from jax._src.array import ArrayImpl
+    from jax._src.core import Tracer
+
+    ArrayImpl.split = lambda self, n, axis=0: _jnp.split(self, n, axis=axis)
+    Tracer.split = lambda self, n, axis=0: _jnp.split(self, n, axis=axis)
+
+    ref_mod = pytest.importorskip("simple_vit")
+    from vit_tpu.models import SimpleViT
+    from vit_tpu.utils import import_reference_simple_vit_params
+
+    cfg = dict(image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+               heads=4, mlp_dim=128)
+    model = ref_mod.SimpleViT(**cfg)
+    img_nchw = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 64))
+    ref_params = model.init({"params": jax.random.PRNGKey(1)}, img_nchw)
+    ref_logits = model.apply(ref_params, img_nchw)
+
+    ours = SimpleViT(**cfg, channels_first=True)
+    params = import_reference_simple_vit_params(ref_params, cfg["depth"])
+    our_logits = ours.apply(params, img_nchw)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

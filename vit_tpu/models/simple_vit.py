@@ -42,7 +42,7 @@ class SimpleViT(nn.Module):
         ih, iw = pair(self.image_size)
         ph, pw = pair(self.patch_size)
 
-        x = PatchEmbed(self.dim, ph, norm=True, dtype=self.dtype, name="patch_embed")(img)
+        x = PatchEmbed(self.dim, ph, dtype=self.dtype, name="patch_embed")(img)
         pe = ops.posemb_sincos_2d(ih // ph, iw // pw, self.dim, dtype=x.dtype)
         x = x + pe[None]
 
@@ -52,10 +52,12 @@ class SimpleViT(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             mlp_dim=self.mlp_dim,
-            final_norm=True,
             dtype=self.dtype,
             name="encoder",
         )(x, deterministic=not train)
 
         x = jnp.mean(x, axis=1)
+        x = nn.LayerNorm(
+            epsilon=1e-5, use_bias=False, dtype=jnp.float32, name="head_norm"
+        )(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

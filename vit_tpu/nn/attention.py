@@ -23,6 +23,13 @@ from vit_tpu import ops
 from vit_tpu.ops.flash_attention import MASK_VALUE
 
 
+def _layer_norm_f32(x, scale, bias, eps=1e-6):
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 def split_heads(x: jax.Array, heads: int) -> jax.Array:
     """``[B, N, H*D] -> [B, H, N, D]``."""
     b, n, hd = x.shape
@@ -90,6 +97,7 @@ class Attention(nn.Module):
     mask_self: bool = False
     learned_temperature: bool = False
     project_out: Optional[bool] = None
+    fuse_residual: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -107,18 +115,8 @@ class Attention(nn.Module):
             if self.project_out is not None
             else not (self.heads == 1 and self.dim_head == self.dim)
         )
-
-        if self.pre_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-
-        if context is None:
-            kv_src = x
-        else:
-            if self.pre_norm:
-                context = nn.LayerNorm(dtype=jnp.float32, name="norm_context")(context)
-            kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
-
         is_self = context is None and not kv_include_self
+        residual = x
 
         if self.learned_temperature:
             # LSA: scale = exp(log_tau), a learned scalar initialized so the
@@ -138,17 +136,77 @@ class Attention(nn.Module):
             or self.learned_temperature  # traced scale -> XLA path
         )
 
+        if is_self and self.pre_norm and not self.qkv_bias:
+            # Self-attention owns raw parameters so the whole block — LN,
+            # qkv GEMM, attention, out-projection, residual — can lower to
+            # the single fused Pallas kernel.
+            dtype = self.dtype or x.dtype
+            norm_scale = self.param("norm_scale", nn.initializers.ones, (self.dim,), jnp.float32)
+            norm_bias = self.param("norm_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+            qkv_kernel = self.param(
+                "qkv_kernel", nn.initializers.lecun_normal(), (self.dim, inner * 3), jnp.float32
+            )
+            if project_out:
+                out_kernel = self.param(
+                    "out_kernel", nn.initializers.lecun_normal(), (inner, self.dim), jnp.float32
+                )
+                out_bias = self.param("out_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+
+            n = x.shape[1]
+            fully_fusable = (
+                self.fuse_residual  # kernel includes the residual add
+                and not needs_materialized
+                and not self.mask_self
+                and bias is None
+                and project_out
+                and ops.backend_mode() != "xla"
+                and n <= 1024  # fp32 scores tile must fit VMEM
+                and self.dim * inner * 3 * 2 <= 8 * 1024 * 1024  # resident weights
+            )
+            if fully_fusable:
+                return ops.attention_block(
+                    x,
+                    norm_scale,
+                    norm_bias,
+                    qkv_kernel.astype(dtype),
+                    out_kernel.astype(dtype),
+                    out_bias.astype(dtype),
+                    self.heads,
+                    scale=scale,
+                )
+
+            xn = _layer_norm_f32(x, norm_scale, norm_bias).astype(dtype)
+            qkv = xn @ qkv_kernel.astype(dtype)
+            if not needs_materialized and not self.mask_self:
+                out = ops.qkv_attention(qkv, self.heads, bias=bias, scale=scale)
+            else:
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                out = self._materializing_attention(
+                    split_heads(q, self.heads),
+                    split_heads(k, self.heads),
+                    split_heads(v, self.heads),
+                    bias,
+                    scale,
+                    deterministic,
+                )
+                out = merge_heads(out)
+            if project_out:
+                out = out @ out_kernel.astype(dtype) + out_bias.astype(dtype)
+                out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
+            return out + residual if self.fuse_residual else out
+
+        # cross-attention / post-norm / qkv-bias configurations
+        if self.pre_norm:
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        if context is None:
+            kv_src = x
+        else:
+            if self.pre_norm:
+                context = nn.LayerNorm(dtype=jnp.float32, name="norm_context")(context)
+            kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
+
         if is_self:
             qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
-            if not needs_materialized and not self.mask_self:
-                # zero-copy path: attention straight off the fused projection
-                out = ops.qkv_attention(qkv, self.heads, bias=bias, scale=scale)
-                if project_out:
-                    out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
-                    out = nn.Dropout(self.dropout, name="out_drop")(
-                        out, deterministic=deterministic
-                    )
-                return out
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
@@ -162,39 +220,45 @@ class Attention(nn.Module):
         if not needs_materialized:
             out = ops.attention(q, k, v, bias=bias, scale=scale, mask_self=self.mask_self)
         else:
-            s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-            s = s * scale
-            if bias is not None:
-                s = s + bias.astype(s.dtype)
-            if self.mask_self:
-                nq, nk = s.shape[-2:]
-                s = jnp.where(jnp.eye(nq, nk, dtype=bool), MASK_VALUE, s)
-            if self.talking_heads:
-                mix_pre = self.param(
-                    "mix_heads_pre", nn.initializers.normal(0.02), (self.heads, self.heads)
-                )
-                s = jnp.einsum("bhij,hg->bgij", s, mix_pre)
-            p = jax.nn.softmax(s, axis=-1)
-            if self.talking_heads:
-                mix_post = self.param(
-                    "mix_heads_post", nn.initializers.normal(0.02), (self.heads, self.heads)
-                )
-                p = jnp.einsum("bhij,hg->bgij", p, mix_post)
-            if self.reattention:
-                # DeepViT: learned head re-mixing of the attention map,
-                # normalized across the token axis (deepvit.py:68-72).
-                reattn = self.param(
-                    "reattn_weights", nn.initializers.normal(0.02), (self.heads, self.heads)
-                )
-                p = jnp.einsum("bhij,hg->bgij", p, reattn)
-                p = nn.LayerNorm(dtype=self.dtype, name="reattn_norm")(
-                    p.transpose(0, 2, 3, 1)
-                ).transpose(0, 3, 1, 2)
-            p = nn.Dropout(self.dropout, name="attn_drop")(p, deterministic=deterministic)
-            out = jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
+            out = self._materializing_attention(q, k, v, bias, scale, deterministic)
 
         out = merge_heads(out)
         if project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
             out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
-        return out
+        return out + residual if self.fuse_residual else out
+
+    def _materializing_attention(self, q, k, v, bias, scale, deterministic):
+        """XLA path materializing the score matrix — covers talking-heads,
+        re-attention, LSA masking with learned temperature, and training-mode
+        attention dropout (SURVEY.md §7.3 item 5)."""
+        s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+        s = s * scale
+        if bias is not None:
+            s = s + bias.astype(s.dtype)
+        if self.mask_self:
+            nq, nk = s.shape[-2:]
+            s = jnp.where(jnp.eye(nq, nk, dtype=bool), MASK_VALUE, s)
+        if self.talking_heads:
+            mix_pre = self.param(
+                "mix_heads_pre", nn.initializers.normal(0.02), (self.heads, self.heads)
+            )
+            s = jnp.einsum("bhij,hg->bgij", s, mix_pre)
+        p = jax.nn.softmax(s, axis=-1)
+        if self.talking_heads:
+            mix_post = self.param(
+                "mix_heads_post", nn.initializers.normal(0.02), (self.heads, self.heads)
+            )
+            p = jnp.einsum("bhij,hg->bgij", p, mix_post)
+        if self.reattention:
+            # DeepViT: learned head re-mixing of the attention map,
+            # normalized across the token axis (deepvit.py:68-72).
+            reattn = self.param(
+                "reattn_weights", nn.initializers.normal(0.02), (self.heads, self.heads)
+            )
+            p = jnp.einsum("bhij,hg->bgij", p, reattn)
+            p = nn.LayerNorm(dtype=self.dtype, name="reattn_norm")(
+                p.transpose(0, 2, 3, 1)
+            ).transpose(0, 3, 1, 2)
+        p = nn.Dropout(self.dropout, name="attn_drop")(p, deterministic=deterministic)
+        return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)

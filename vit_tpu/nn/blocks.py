@@ -158,7 +158,7 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = x + Attention(
+        x = Attention(
             dim=self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
@@ -166,6 +166,7 @@ class EncoderBlock(nn.Module):
             reattention=self.reattention,
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
+            fuse_residual=True,  # residual add fuses into the block kernel
             dtype=self.dtype,
             name="attn",
         )(x, deterministic=deterministic)

@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 
+from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
 from vit_tpu.ops.flash_attention import flash_attention, reference_attention
 from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
 from vit_tpu.ops.qkv_attention import fused_qkv_attention
@@ -95,6 +96,20 @@ def attention(
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     return flash_attention(
         q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
+    )
+
+
+def attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads: int, *, scale=None):
+    """Dispatching fully-fused attention block (LN -> qkv -> attention ->
+    out-proj -> +residual); XLA fallback off-TPU."""
+    mode = backend_mode()
+    if mode == "xla":
+        if scale is None:
+            scale = (wqkv.shape[1] // 3 // heads) ** -0.5
+        return xla_attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale)
+    return fused_attention_block(
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads,
+        scale=scale, interpret=(mode == "interpret"),
     )
 
 

@@ -1,0 +1,217 @@
+"""Fully-fused attention block kernel: LN -> qkv GEMM -> softmax-attention
+-> out GEMM -> +residual, one Pallas call.
+
+The per-op pipeline costs ~600MB of HBM traffic per ViT-L layer (LN write,
+qkv write, attention in/out, out-proj in/out, residual); this kernel reads
+the residual stream once and writes it once (~112MB), with both weight
+matrices resident in VMEM across the whole batch grid (constant index maps)
+and all intermediates — normalized activations, fused qkv, attention
+probabilities — living only in VMEM/registers.
+
+Serves the vanilla self-attention block family (ViT/SimpleViT/CaiT-patch/
+PiT/T2T encoders...): pre-norm, fused qkv without bias (the reference's
+convention, vit.py:68), biasless softmax, projection with bias, residual.
+Variants with logit bias / masking / head mixing use the standalone
+attention kernels.
+
+VMEM budget at ViT-L (D=1024, H=16): Wqkv 6MB + Wout 2MB + per-step x/qkv/
+out panels ~2.5MB + fp32 scores tile — comfortably inside 16MB for N<=1024.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_f32(x, scale, bias, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _kernel(
+    x_ref,        # (1, N, D)
+    ln_scale_ref,  # (1, D)
+    ln_bias_ref,   # (1, D)
+    wqkv_ref,      # (D, 3*H*Dh)
+    wout_ref,      # (H*Dh, D)
+    bout_ref,      # (1, D)
+    o_ref,         # (1, N, D)
+    *,
+    heads: int,
+    d: int,
+    scale: float,
+    ln_eps: float,
+):
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if wqkv_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    hd = heads * d
+    x = x_ref[0]
+    xn = _ln_f32(
+        x.astype(jnp.float32),
+        ln_scale_ref[0].astype(jnp.float32),
+        ln_bias_ref[0].astype(jnp.float32),
+        ln_eps,
+    ).astype(wqkv_ref.dtype)
+
+    qkv = jax.lax.dot(
+        xn, wqkv_ref[:], preferred_element_type=jnp.float32, precision=precision
+    ).astype(wqkv_ref.dtype)  # (N, 3*H*Dh)
+
+    attn_out_parts = []
+    for h in range(heads):
+        q = qkv[:, h * d : (h + 1) * d]
+        k = qkv[:, hd + h * d : hd + (h + 1) * d]
+        v = qkv[:, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        s *= scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * pl.reciprocal(l, approx=False)
+        attn_out_parts.append(
+            jax.lax.dot(
+                p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(wout_ref.dtype)
+        )
+    attn_out = jnp.concatenate(attn_out_parts, axis=-1)  # (N, H*Dh)
+
+    out = jax.lax.dot(
+        attn_out, wout_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
+    out += bout_ref[0].astype(jnp.float32)
+    out += x.astype(jnp.float32)  # residual, fused
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "ln_eps", "interpret")
+)
+def _attention_block_impl(
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret
+):
+    b, n, dim = x.shape
+    three_hd = wqkv.shape[1]
+    hd = three_hd // 3
+    d = hd // heads
+
+    grid = (b,)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, three_hd), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * dim * three_hd
+            + 4 * b * heads * n * n * d
+            + 2 * b * n * hd * dim,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (wqkv.size + wout.size) * wqkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, dim),
+        ln_bias.reshape(1, dim),
+        wqkv,
+        wout,
+        bout.reshape(1, dim),
+    )
+
+
+def xla_attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps=1e-6):
+    """Plain-XLA equivalent — reference, CPU fallback, and the recompute for
+    the custom backward."""
+    b, n, dim = x.shape
+    hd = wqkv.shape[1] // 3
+    d = hd // heads
+    xn = _ln_f32(
+        x.astype(jnp.float32), ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32), ln_eps,
+    ).astype(wqkv.dtype)
+    qkv = jnp.einsum("bnd,df->bnf", xn, wqkv, preferred_element_type=jnp.float32)
+    qkv = qkv.astype(wqkv.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, hd).astype(wout.dtype)
+    out = jnp.einsum("bnf,fd->bnd", o, wout, preferred_element_type=jnp.float32)
+    out = out + bout.astype(jnp.float32) + x.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _attention_block_ad(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret):
+    return _attention_block_impl(
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret
+    )
+
+
+def _ab_fwd(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret):
+    out = _attention_block_impl(
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret
+    )
+    return out, (x, ln_scale, ln_bias, wqkv, wout, bout)
+
+
+def _ab_bwd(heads, scale, ln_eps, interpret, res, g):
+    def f(*diff_args):
+        return xla_attention_block(*diff_args, heads, scale, ln_eps)
+
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+_attention_block_ad.defvjp(_ab_fwd, _ab_bwd)
+
+
+def fused_attention_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wqkv: jax.Array,
+    wout: jax.Array,
+    bout: jax.Array,
+    heads: int,
+    *,
+    scale: Optional[float] = None,
+    ln_eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x + out_proj(attention(qkv_proj(LN(x))))`` in one kernel.
+
+    Differentiable (Pallas forward, XLA-recompute backward). Returns the
+    residual-added stream, same shape/dtype as ``x``.
+    """
+    if scale is None:
+        scale = (wqkv.shape[1] // 3 // heads) ** -0.5
+    return _attention_block_ad(
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, float(scale), ln_eps, interpret
+    )

@@ -25,9 +25,11 @@ from vit_tpu.parallel.mesh import MODEL_AXIS
 # (path regex, spec for 2-D kernels). Order matters: first match wins.
 DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(to_qkv|to_q|to_kv|to_k|to_v)/kernel$", P(None, MODEL_AXIS)),
+    (r".*/qkv_kernel$", P(None, MODEL_AXIS)),
     (r".*/w1$", P(None, MODEL_AXIS)),
     (r".*/b1$", P(MODEL_AXIS)),
     (r".*(to_out|to_out_conv)/kernel$", P(MODEL_AXIS, None)),
+    (r".*/out_kernel$", P(MODEL_AXIS, None)),
     (r".*/w2$", P(MODEL_AXIS, None)),
 )
 

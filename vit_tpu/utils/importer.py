@@ -75,12 +75,11 @@ def import_reference_lsa_params(
         zeros = jnp.zeros_like(attn_norm["scale"])
         return (
             {
-                "norm": {"scale": attn_norm["scale"], "bias": zeros},
-                "to_qkv": {"kernel": attn["Dense_0"]["kernel"]},
-                "to_out": {
-                    "kernel": attn["Dense_1"]["kernel"],
-                    "bias": attn["Dense_1"]["bias"],
-                },
+                "norm_scale": attn_norm["scale"],
+                "norm_bias": zeros,
+                "qkv_kernel": attn["Dense_0"]["kernel"],
+                "out_kernel": attn["Dense_1"]["kernel"],
+                "out_bias": attn["Dense_1"]["bias"],
                 "log_temperature": log_tau,
             },
             {
@@ -128,6 +127,74 @@ def import_reference_lsa_params(
     }
 
 
+def import_reference_simple_vit_params(
+    ref_params: Dict[str, Any], depth: int, *, scan: bool = True
+) -> Dict[str, Any]:
+    """Map a reference ``simple_vit.py`` tree onto ``vit_tpu.models.SimpleViT``.
+
+    Layout: Dense_1 = patch projection, Dense_0 = head, LayerNorm_0 = head
+    norm (scale only); per-layer norms live INSIDE Attention_i/FeedForward_i
+    (bias-free), and the out-projection carries no bias — zeros are
+    substituted where this framework keeps bias parameters.
+    """
+    import jax
+
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    tr = p["Transformer_0"]
+
+    def layer(i):
+        attn = tr[f"Attention_{i}"]
+        ff = tr[f"FeedForward_{i}"]
+        dim_zeros = jnp.zeros_like(attn["LayerNorm_0"]["scale"])
+        return (
+            {
+                "norm_scale": attn["LayerNorm_0"]["scale"],
+                "norm_bias": dim_zeros,
+                "qkv_kernel": attn["Dense_0"]["kernel"],
+                "out_kernel": attn["Dense_1"]["kernel"],
+                "out_bias": dim_zeros,
+            },
+            {
+                "ln_scale": ff["LayerNorm_0"]["scale"],
+                "ln_bias": dim_zeros,
+                "w1": ff["Dense_0"]["kernel"],
+                "b1": ff["Dense_0"]["bias"],
+                "w2": ff["Dense_1"]["kernel"],
+                "b2": ff["Dense_1"]["bias"],
+            },
+        )
+
+    encoder: Dict[str, Any] = {}
+    if scan and depth > 1:
+        attns, ffs = zip(*(layer(i) for i in range(depth)))
+        encoder["blocks"] = {
+            "attn": jax.tree.map(lambda *xs: jnp.stack(xs), *attns),
+            "ff": jax.tree.map(lambda *xs: jnp.stack(xs), *ffs),
+        }
+    else:
+        for i in range(depth):
+            a, f = layer(i)
+            encoder[f"attn_{i}"] = a
+            encoder[f"ff_{i}"] = f
+
+    return {
+        "params": {
+            "patch_embed": {
+                "proj": {
+                    "kernel": p["Dense_1"]["kernel"],
+                    "bias": p["Dense_1"]["bias"],
+                }
+            },
+            "encoder": encoder,
+            "head_norm": {"scale": p["LayerNorm_0"]["scale"]},
+            "head": {
+                "kernel": p["Dense_0"]["kernel"],
+                "bias": p["Dense_0"]["bias"],
+            },
+        }
+    }
+
+
 def import_reference_vit_params(
     ref_params: Dict[str, Any], depth: int, *, scan: bool = True
 ) -> Dict[str, Any]:
@@ -151,12 +218,11 @@ def import_reference_vit_params(
         ff = tr[f"FeedForward_{i}"]
         return (
             {
-                "norm": {"scale": attn_norm["scale"], "bias": attn_norm["bias"]},
-                "to_qkv": {"kernel": attn["Dense_0"]["kernel"]},
-                "to_out": {
-                    "kernel": attn["Dense_1"]["kernel"],
-                    "bias": attn["Dense_1"]["bias"],
-                },
+                "norm_scale": attn_norm["scale"],
+                "norm_bias": attn_norm["bias"],
+                "qkv_kernel": attn["Dense_0"]["kernel"],
+                "out_kernel": attn["Dense_1"]["kernel"],
+                "out_bias": attn["Dense_1"]["bias"],
             },
             {
                 "ln_scale": ff_norm["scale"],
