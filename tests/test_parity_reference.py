@@ -115,6 +115,59 @@ def test_simple_vit_logit_parity():
     )
 
 
+def _patch_array_split():
+    import jax.numpy as _jnp
+    from jax._src.array import ArrayImpl
+    from jax._src.core import Tracer
+
+    ArrayImpl.split = lambda self, n, axis=0: _jnp.split(self, n, axis=axis)
+    Tracer.split = lambda self, n, axis=0: _jnp.split(self, n, axis=axis)
+
+
+def test_parallel_vit_logit_parity():
+    _patch_array_split()
+    ref_mod = pytest.importorskip("parallel_vit")
+    from vit_tpu.models import ParallelViT
+    from vit_tpu.utils.importer import import_reference_parallel_vit_params
+
+    cfg = dict(image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+               heads=4, mlp_dim=128, num_parallel_branches=2)
+    model = ref_mod.ViT(**cfg, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = ParallelViT(**cfg)
+    params = import_reference_parallel_vit_params(ref_params, cfg["depth"], 2)
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_patch_merger_logit_parity():
+    _patch_array_split()
+    ref_mod = pytest.importorskip("patch_merger")
+    from vit_tpu.models import PatchMergerViT
+    from vit_tpu.utils.importer import import_reference_patch_merger_params
+
+    cfg = dict(image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+               heads=4, mlp_dim=128, patch_merge_layer=1, patch_merge_num_tokens=4)
+    model = ref_mod.ViT(**cfg, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = PatchMergerViT(**cfg)
+    params = import_reference_patch_merger_params(ref_params, cfg["depth"], 1, 4)
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

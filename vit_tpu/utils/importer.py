@@ -195,6 +195,122 @@ def import_reference_simple_vit_params(
     }
 
 
+def import_reference_parallel_vit_params(
+    ref_params: Dict[str, Any], depth: int, branches: int = 2
+) -> Dict[str, Any]:
+    """Map a reference ``parallel_vit.py`` tree onto
+    ``vit_tpu.models.ParallelViT`` (never scanned — branch submodules).
+
+    Reference order: per depth d, branch b: Attention_{d*B+b},
+    FeedForward_{d*B+b}; PreNorm_{d*2B+b} (attn) and PreNorm_{d*2B+B+b}
+    (ff), all scale-only. Out projections carry no bias; zeros substituted.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    tr = p["Transformer_0"]
+
+    encoder: Dict[str, Any] = {}
+    for d in range(depth):
+        for b in range(branches):
+            attn = tr[f"Attention_{d * branches + b}"]
+            ff = tr[f"FeedForward_{d * branches + b}"]
+            attn_norm = tr[f"PreNorm_{d * 2 * branches + b}"]["LayerNorm_0"]
+            ff_norm = tr[f"PreNorm_{d * 2 * branches + branches + b}"]["LayerNorm_0"]
+            zeros = jnp.zeros_like(attn_norm["scale"])
+            encoder[f"attn_{d}_{b}"] = {
+                "norm_scale": attn_norm["scale"],
+                "norm_bias": zeros,
+                "qkv_kernel": attn["Dense_0"]["kernel"],
+                "out_kernel": attn["Dense_1"]["kernel"],
+                "out_bias": zeros,
+            }
+            encoder[f"ff_{d}_{b}"] = {
+                "ln_scale": ff_norm["scale"],
+                "ln_bias": zeros,
+                "w1": ff["Dense_0"]["kernel"],
+                "b1": ff["Dense_0"]["bias"],
+                "w2": ff["Dense_1"]["kernel"],
+                "b2": ff["Dense_1"]["bias"],
+            }
+
+    head_scale = p["LayerNorm_0"]["scale"]
+    out = {
+        "cls": p["cls"],
+        "pos_embedding": p["pos_embedding"],
+        "patch_embed": {
+            "proj": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]}
+        },
+        "encoder": encoder,
+        "head_norm": {"scale": head_scale, "bias": jnp.zeros_like(head_scale)},
+        "head": {"kernel": p["Dense_1"]["kernel"]},
+    }
+    if "bias" in p["Dense_1"]:
+        out["head"]["bias"] = p["Dense_1"]["bias"]
+    else:
+        out["head"]["bias"] = jnp.zeros((p["Dense_1"]["kernel"].shape[1],), jnp.float32)
+    return {"params": out}
+
+
+def import_reference_patch_merger_params(
+    ref_params: Dict[str, Any], depth: int, merge_at: int, num_tokens_out: int
+) -> Dict[str, Any]:
+    """Map a reference ``patch_merger.py`` tree onto
+    ``vit_tpu.models.PatchMergerViT``.
+
+    The reference's merger queries are a fixed ``PRNGKey(0)`` draw rather
+    than a parameter (bug register #4); the same draw seeds our learned
+    ``queries`` so logits match at import time.
+    """
+    import jax
+
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    tr = p["Transformer_0"]
+    dim = p["Dense_1"]["kernel"].shape[1]
+
+    encoder: Dict[str, Any] = {}
+    for i in range(depth):
+        attn = tr[f"Attention_{i}"]
+        ff = tr[f"FeedForward_{i}"]
+        attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
+        ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
+        zeros = jnp.zeros_like(attn_norm["scale"])
+        encoder[f"attn_{i}"] = {
+            "norm_scale": attn_norm["scale"],
+            "norm_bias": zeros,
+            "qkv_kernel": attn["Dense_0"]["kernel"],
+            "out_kernel": attn["Dense_1"]["kernel"],
+            "out_bias": zeros,
+        }
+        encoder[f"ff_{i}"] = {
+            "ln_scale": ff_norm["scale"],
+            "ln_bias": zeros,
+            "w1": ff["Dense_0"]["kernel"],
+            "b1": ff["Dense_0"]["bias"],
+            "w2": ff["Dense_1"]["kernel"],
+            "b2": ff["Dense_1"]["bias"],
+        }
+
+    merger_scale = tr["PatchMerger_0"]["LayerNorm_0"]["scale"]
+    head_scale = p["LayerNorm_0"]["scale"]
+    encoder_and_merger = dict(encoder)
+    encoder_and_merger["merger"] = {
+        "queries": jax.random.normal(jax.random.PRNGKey(0), (num_tokens_out, dim)),
+        "norm": {"scale": merger_scale, "bias": jnp.zeros_like(merger_scale)},
+    }
+    return {
+        "params": {
+            # the reference allocates num_patches+1 rows (a cls slot it never
+            # uses — mean pool) and slices [:n] at apply; drop the extra row
+            "pos_embedding": p["pos_embedding"][:, :-1],
+            "patch_embed": {
+                "proj": {"kernel": p["Dense_1"]["kernel"], "bias": p["Dense_1"]["bias"]}
+            },
+            **encoder_and_merger,
+            "head_norm": {"scale": head_scale, "bias": jnp.zeros_like(head_scale)},
+            "head": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]},
+        }
+    }
+
+
 def import_reference_vit_params(
     ref_params: Dict[str, Any], depth: int, *, scan: bool = True
 ) -> Dict[str, Any]:
