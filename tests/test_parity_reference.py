@@ -168,6 +168,27 @@ def test_patch_merger_logit_parity():
     )
 
 
+def test_cait_logit_parity():
+    ref_mod = pytest.importorskip("cait")
+    from vit_tpu.models import CaiT
+    from vit_tpu.utils.importer import import_reference_cait_params
+
+    cfg = dict(image_size=64, patch_size=16, num_classes=10, dim=64, depth=2,
+               cls_depth=2, heads=4, mlp_dim=128)
+    model = ref_mod.CaiT(**cfg, dropout=0.0, emb_dropout=0.0, layer_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = CaiT(**cfg)
+    params = import_reference_cait_params(ref_params, cfg["depth"], cfg["cls_depth"])
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

@@ -98,6 +98,10 @@ class Attention(nn.Module):
     learned_temperature: bool = False
     project_out: Optional[bool] = None
     fuse_residual: bool = False
+    # The reference's PreNorm normalizes only the queries; cross-attention
+    # context stays raw (cait.py:96-99, cross_vit.py's PreNorm). Set True
+    # for the upstream-lucidrains behavior of norming the context too.
+    norm_context: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -201,7 +205,7 @@ class Attention(nn.Module):
         if context is None:
             kv_src = x
         else:
-            if self.pre_norm:
+            if self.pre_norm and self.norm_context:
                 context = nn.LayerNorm(dtype=jnp.float32, name="norm_context")(context)
             kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
 

@@ -195,6 +195,83 @@ def import_reference_simple_vit_params(
     }
 
 
+def import_reference_cait_params(
+    ref_params: Dict[str, Any], depth: int, cls_depth: int
+) -> Dict[str, Any]:
+    """Map a reference ``cait.py`` tree onto ``vit_tpu.models.CaiT``.
+
+    Reference attention uses separate q (Dense_0) / kv (Dense_1) kernels
+    even for self-attention — concatenated into our fused qkv_kernel for the
+    patch stage; the class stage keeps the split layout. Talking-heads
+    mixes map directly; LayerScale is the reference's constant epsilon
+    (it never learns it, bug register #6) so imported values equal our
+    initializer's. Note reference LayerScale bands epsilon by LAYER index
+    (bug register #20) — identical to ours for models up to depth 18.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+
+    def stage(tr, n_layers, self_attention: bool, eps_vals):
+        out: Dict[str, Any] = {}
+        for i in range(n_layers):
+            attn = tr[f"Attention_{i}"]
+            ff = tr[f"FeedForward_{i}"]
+            attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
+            ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
+            zeros = jnp.zeros_like(attn_norm["scale"])
+            if self_attention:
+                out[f"attn_{i}"] = {
+                    "norm_scale": attn_norm["scale"],
+                    "norm_bias": zeros,
+                    "qkv_kernel": jnp.concatenate(
+                        [attn["Dense_0"]["kernel"], attn["Dense_1"]["kernel"]], axis=1
+                    ),
+                    "out_kernel": attn["Dense_2"]["kernel"],
+                    "out_bias": attn["Dense_2"]["bias"],
+                    "mix_heads_pre": attn["mix_heads_pre_attn"],
+                    "mix_heads_post": attn["mix_heads_post_attn"],
+                }
+            else:
+                out[f"attn_{i}"] = {
+                    "norm": {"scale": attn_norm["scale"], "bias": zeros},
+                    "to_q": {"kernel": attn["Dense_0"]["kernel"]},
+                    "to_kv": {"kernel": attn["Dense_1"]["kernel"]},
+                    "to_out": {
+                        "kernel": attn["Dense_2"]["kernel"],
+                        "bias": attn["Dense_2"]["bias"],
+                    },
+                    "mix_heads_pre": attn["mix_heads_pre_attn"],
+                    "mix_heads_post": attn["mix_heads_post_attn"],
+                }
+            out[f"ff_{i}"] = {
+                "ln_scale": ff_norm["scale"],
+                "ln_bias": zeros,
+                "w1": ff["Dense_0"]["kernel"],
+                "b1": ff["Dense_0"]["bias"],
+                "w2": ff["Dense_1"]["kernel"],
+                "b2": ff["Dense_1"]["bias"],
+            }
+            dim = attn_norm["scale"].shape[0]
+            out[f"ls_attn_{i}"] = jnp.full((dim,), eps_vals, jnp.float32)
+            out[f"ls_ff_{i}"] = jnp.full((dim,), eps_vals, jnp.float32)
+        return out
+
+    eps = 0.1 if depth <= 18 else (1e-5 if depth <= 24 else 1e-6)
+    head_scale = p["LayerNorm_0"]["scale"]
+    return {
+        "params": {
+            "cls": p["cls"],
+            "pos_embedding": p["pos_embedding"],
+            "patch_embed": {
+                "proj": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]}
+            },
+            "patch_stage": stage(p["Transformer_0"], depth, True, eps),
+            "cls_stage": stage(p["Transformer_1"], cls_depth, False, eps),
+            "head_norm": {"scale": head_scale, "bias": jnp.zeros_like(head_scale)},
+            "head": {"kernel": p["Dense_1"]["kernel"], "bias": p["Dense_1"]["bias"]},
+        }
+    }
+
+
 def import_reference_parallel_vit_params(
     ref_params: Dict[str, Any], depth: int, branches: int = 2
 ) -> Dict[str, Any]:
