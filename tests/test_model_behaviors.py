@@ -36,10 +36,10 @@ def test_levit_batchnorm_state_and_distill():
 def test_crossformer_variable_resolution():
     """DPB makes CrossFormer input-size flexible (README.md:94): the same
     params must run at a second resolution (window-compatible)."""
-    model = CrossFormer(num_classes=10, dim=(32, 64), depth=(1, 1),
-                        global_window_size=(4, 2), local_window_size=7,
-                        cross_embed_kernel_sizes=((4, 8), (2, 4)),
-                        cross_embed_strides=(4, 2))
+    model = CrossFormer(num_classes=10, dim=(32,), depth=(1,),
+                        global_window_size=(4,), local_window_size=7,
+                        cross_embed_kernel_sizes=((4, 8),),
+                        cross_embed_strides=(4,))
     img1 = jax.random.normal(jax.random.PRNGKey(0), (1, 112, 112, 3))
     variables = model.init({"params": jax.random.PRNGKey(1)}, img1)
     out1 = model.apply(variables, img1)

@@ -120,9 +120,9 @@ MODEL_REGISTRY = {
     ),
     "nest": (
         NesT,
-        dict(image_size=64, patch_size=4, num_classes=10, dim=32, heads=2,
-             num_hierarchies=3, block_repeats=(1, 1, 1)),
-        64,
+        dict(image_size=32, patch_size=4, num_classes=10, dim=32, heads=2,
+             num_hierarchies=2, block_repeats=(1, 1)),
+        32,
     ),
     "scalable_vit": (
         ScalableViT,
@@ -141,7 +141,7 @@ MODEL_REGISTRY = {
         CvT,
         dict(num_classes=10, s1_emb_dim=16, s1_depth=1, s2_emb_dim=32, s2_depth=1,
              s3_emb_dim=32, s3_depth=1, s3_heads=2),
-        64,
+        32,
     ),
     "levit": (
         LeViT,
