@@ -189,6 +189,51 @@ def test_cait_logit_parity():
     )
 
 
+def test_t2t_logit_parity():
+    """End-to-end check that the in-graph overlapping-patch gather matches
+    the reference's host-side tf.image.extract_patches exactly (the
+    tokenizer output feeds the same weights)."""
+    ref_mod = pytest.importorskip("t2t")
+    from vit_tpu.models import T2TViT
+    from vit_tpu.utils.importer import import_reference_t2t_params
+
+    cfg = dict(image_size=64, num_classes=10, dim=64, depth=2, heads=2,
+               mlp_dim=128)
+    model = ref_mod.T2TViT(**cfg, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = T2TViT(**cfg)
+    params = import_reference_t2t_params(ref_params, cfg["depth"])
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_pit_logit_parity_single_stage():
+    ref_mod = pytest.importorskip("pit")
+    from vit_tpu.models import PiT
+    from vit_tpu.utils.importer import import_reference_pit_params
+
+    cfg = dict(image_size=64, patch_size=8, num_classes=10, dim=64,
+               depth=(2,), heads=2, mlp_dim=128)
+    model = ref_mod.PiT(**cfg, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = PiT(**cfg)
+    params = import_reference_pit_params(ref_params, 2)
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

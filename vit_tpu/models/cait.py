@@ -68,12 +68,14 @@ class _CaiTStage(nn.Module):
                 dim_head=self.dim_head,
                 dropout=self.dropout,
                 talking_heads=True,
+                norm_eps=1e-5,
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )(x, context=context, kv_include_self=context is not None, deterministic=deterministic)
             x = gated_residual(x, a, f"attn_{i}")
             f = FeedForward(
-                self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name=f"ff_{i}"
+                self.dim, self.mlp_dim, self.dropout, ln_eps=1e-5,
+                dtype=self.dtype, name=f"ff_{i}"
             )(x, deterministic=deterministic)
             x = gated_residual(x, f, f"ff_{i}")
         return x

@@ -68,6 +68,7 @@ class ParallelViT(nn.Module):
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
             parallel_branches=self.num_parallel_branches,
+            norm_eps=1e-5,
             dtype=self.dtype,
             name="encoder",
         )(x, deterministic=not train)

@@ -60,11 +60,13 @@ class PatchMergerViT(nn.Module):
                 heads=self.heads,
                 dim_head=self.dim_head,
                 dropout=self.dropout,
+                norm_eps=1e-5,
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )(x, deterministic=not train)
             x = x + FeedForward(
-                self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name=f"ff_{i}"
+                self.dim, self.mlp_dim, self.dropout, ln_eps=1e-5,
+                dtype=self.dtype, name=f"ff_{i}"
             )(x, deterministic=not train)
             if i + 1 == merge_at:
                 x = PatchMerger(

@@ -79,6 +79,7 @@ class PiT(nn.Module):
                 dim_head=self.dim_head,
                 mlp_dim=self.mlp_dim,
                 dropout=self.dropout,
+                norm_eps=1e-5,
                 dtype=self.dtype,
                 name=f"stage_{s}",
             )(x, deterministic=det)

@@ -52,6 +52,7 @@ class SimpleViT(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             mlp_dim=self.mlp_dim,
+            norm_eps=1e-5,
             dtype=self.dtype,
             name="encoder",
         )(x, deterministic=not train)

@@ -64,6 +64,7 @@ class T2TViT(nn.Module):
                     dim_head=layer_dim,
                     mlp_dim=layer_dim,
                     dropout=self.dropout,
+                    norm_eps=1e-5,
                     dtype=self.dtype,
                     name=f"t2t_{i}",
                 )(x, deterministic=det)
@@ -102,6 +103,7 @@ class T2TViT(nn.Module):
                 dim_head=self.dim_head,
                 mlp_dim=self.mlp_dim,
                 dropout=self.dropout,
+                norm_eps=1e-5,
                 dtype=self.dtype,
                 name="encoder",
             )(x, deterministic=det)

@@ -67,6 +67,7 @@ class ViTSmallDatasets(nn.Module):
             dropout=self.dropout,
             mask_self=True,
             learned_temperature=True,
+            norm_eps=1e-5,
             dtype=self.dtype,
             name="encoder",
         )(x, deterministic=not train)

@@ -102,6 +102,7 @@ class Attention(nn.Module):
     # context stays raw (cait.py:96-99, cross_vit.py's PreNorm). Set True
     # for the upstream-lucidrains behavior of norming the context too.
     norm_context: bool = False
+    norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -177,9 +178,10 @@ class Attention(nn.Module):
                     out_bias.astype(dtype),
                     self.heads,
                     scale=scale,
+                    ln_eps=self.norm_eps,
                 )
 
-            xn = _layer_norm_f32(x, norm_scale, norm_bias).astype(dtype)
+            xn = _layer_norm_f32(x, norm_scale, norm_bias, self.norm_eps).astype(dtype)
             qkv = xn @ qkv_kernel.astype(dtype)
             if not needs_materialized and not self.mask_self:
                 out = ops.qkv_attention(qkv, self.heads, bias=bias, scale=scale)
@@ -201,12 +203,12 @@ class Attention(nn.Module):
 
         # cross-attention / post-norm / qkv-bias configurations
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm")(x)
         if context is None:
             kv_src = x
         else:
             if self.pre_norm and self.norm_context:
-                context = nn.LayerNorm(dtype=jnp.float32, name="norm_context")(context)
+                context = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm_context")(context)
             kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
 
         if is_self:

@@ -35,6 +35,7 @@ class FeedForward(nn.Module):
     norm_bias: bool = True
     dense_bias: bool = True
     activation: str = "gelu"
+    ln_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -72,7 +73,7 @@ class FeedForward(nn.Module):
             # Training path: dropout between the activations (XLA).
             h = x
             if self.pre_norm:
-                h = _layer_norm(h, cast(ln_scale), cast(ln_bias))
+                h = _layer_norm(h, cast(ln_scale), cast(ln_bias), self.ln_eps)
             h = h @ cast(w1)
             if b1 is not None:
                 h = h + cast(b1)
@@ -94,6 +95,7 @@ class FeedForward(nn.Module):
             cast(ln_bias),
             activation=self.activation,
             residual=False,
+            ln_eps=self.ln_eps,
         )
         return out
 
@@ -154,6 +156,7 @@ class EncoderBlock(nn.Module):
     reattention: bool = False
     mask_self: bool = False
     learned_temperature: bool = False
+    norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -167,11 +170,13 @@ class EncoderBlock(nn.Module):
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
             fuse_residual=True,  # residual add fuses into the block kernel
+            norm_eps=self.norm_eps,
             dtype=self.dtype,
             name="attn",
         )(x, deterministic=deterministic)
         x = x + FeedForward(
-            self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name="ff"
+            self.dim, self.mlp_dim, self.dropout, ln_eps=self.norm_eps,
+            dtype=self.dtype, name="ff"
         )(x, deterministic=deterministic)
         return x, ()
 
@@ -206,6 +211,7 @@ class Transformer(nn.Module):
     parallel_branches: int = 1
     final_norm: bool = False
     scan: bool = True
+    norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -240,6 +246,7 @@ class Transformer(nn.Module):
                 reattention=self.reattention,
                 mask_self=self.mask_self,
                 learned_temperature=self.learned_temperature,
+                norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 name="blocks",
             )
@@ -256,6 +263,7 @@ class Transformer(nn.Module):
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
             talking_heads=self.talking_heads,
+            norm_eps=self.norm_eps,
             dtype=self.dtype,
         )
 
@@ -280,7 +288,8 @@ class Transformer(nn.Module):
                 )
                 x = residual(x, a, i, "attn")
                 f = FeedForward(
-                    self.dim, self.mlp_dim, self.dropout, dtype=self.dtype, name=f"ff_{i}"
+                    self.dim, self.mlp_dim, self.dropout, ln_eps=self.norm_eps,
+                    dtype=self.dtype, name=f"ff_{i}"
                 )(x, deterministic=deterministic)
                 x = residual(x, f, i, "ff")
             else:

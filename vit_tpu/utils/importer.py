@@ -195,6 +195,100 @@ def import_reference_simple_vit_params(
     }
 
 
+def _encoder_layers(tr, depth, *, scan, bias_free_norms=False, out_bias=True):
+    """Shared vit-style Transformer mapping: Attention_i/FeedForward_i +
+    PreNorm pairs -> our raw-param blocks (optionally scan-stacked)."""
+    import jax
+
+    def layer(i):
+        attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
+        ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
+        attn = tr[f"Attention_{i}"]
+        ff = tr[f"FeedForward_{i}"]
+        zeros = jnp.zeros_like(attn_norm["scale"])
+        a = {
+            "norm_scale": attn_norm["scale"],
+            "norm_bias": attn_norm.get("bias", zeros),
+            "qkv_kernel": attn["Dense_0"]["kernel"],
+        }
+        if "Dense_1" in attn:  # out projection exists (project_out)
+            a["out_kernel"] = attn["Dense_1"]["kernel"]
+            a["out_bias"] = attn["Dense_1"].get(
+                "bias", jnp.zeros((attn["Dense_1"]["kernel"].shape[1],), jnp.float32)
+            )
+        f = {
+            "ln_scale": ff_norm["scale"],
+            "ln_bias": ff_norm.get("bias", jnp.zeros_like(ff_norm["scale"])),
+            "w1": ff["Dense_0"]["kernel"],
+            "b1": ff["Dense_0"]["bias"],
+            "w2": ff["Dense_1"]["kernel"],
+            "b2": ff["Dense_1"]["bias"],
+        }
+        return a, f
+
+    encoder = {}
+    if scan and depth > 1:
+        attns, ffs = zip(*(layer(i) for i in range(depth)))
+        encoder["blocks"] = {
+            "attn": jax.tree.map(lambda *xs: jnp.stack(xs), *attns),
+            "ff": jax.tree.map(lambda *xs: jnp.stack(xs), *ffs),
+        }
+    else:
+        for i in range(depth):
+            a, f = layer(i)
+            encoder[f"attn_{i}"] = a
+            encoder[f"ff_{i}"] = f
+    return encoder
+
+
+def import_reference_t2t_params(
+    ref_params: Dict[str, Any], depth: int, n_t2t_layers: int = 3
+) -> Dict[str, Any]:
+    """Map a reference ``t2t.py`` tree onto ``vit_tpu.models.T2TViT``.
+
+    Tokenizer stages RearrangeUnfoldTransformer_i each hold a 1-head
+    depth-1 Transformer (no out projection — heads==1, dim_head==dim);
+    Dense_0 is the final tokenizer projection, Transformer_0 the main
+    encoder, LayerNorm_0 + Dense_1 the head.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    out: Dict[str, Any] = {
+        "cls": p["cls"],
+        "pos_embedding": p["pos_embedding"],
+        "proj": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]},
+        "encoder": _encoder_layers(p["Transformer_0"], depth, scan=True),
+        "head_norm": {"scale": p["LayerNorm_0"]["scale"]},
+        "head": {"kernel": p["Dense_1"]["kernel"], "bias": p["Dense_1"]["bias"]},
+    }
+    for i in range(n_t2t_layers - 1):  # last t2t layer has no transformer
+        tr = p[f"RearrangeUnfoldTransformer_{i}"]["Transformer_0"]
+        out[f"t2t_{i}"] = _encoder_layers(tr, 1, scan=False)
+    return {"params": out}
+
+
+def import_reference_pit_params(ref_params: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    """Map a reference ``pit.py`` tree onto ``vit_tpu.models.PiT``.
+
+    Only single-stage configs are importable: the reference's Pool never
+    executes (``not_last`` bug, pit.py:199) so its multi-stage models
+    degenerate to a flat encoder, while this build actually pools — the
+    architectures only coincide when there is one stage.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    # reference call order names the head Dense_0 and the patch projection
+    # Dense_1 (pit.py builds mlp_head's Dense before the projection runs)
+    return {
+        "params": {
+            "cls": p["cls"],
+            "pos_embedding": p["pos_embedding"],
+            "proj": {"kernel": p["Dense_1"]["kernel"], "bias": p["Dense_1"]["bias"]},
+            "stage_0": _encoder_layers(p["Transformer_0"], depth, scan=True),
+            "head_norm": {"scale": p["LayerNorm_0"]["scale"]},
+            "head": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]},
+        }
+    }
+
+
 def import_reference_cait_params(
     ref_params: Dict[str, Any], depth: int, cls_depth: int
 ) -> Dict[str, Any]:
