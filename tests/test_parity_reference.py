@@ -234,6 +234,74 @@ def test_pit_logit_parity_single_stage():
     )
 
 
+def test_cross_vit_logit_parity():
+    ref_mod = pytest.importorskip("cross_vit")
+    from vit_tpu.models import CrossViT
+    from vit_tpu.utils.importer import import_reference_cross_vit_params
+
+    cfg = dict(image_size=64, num_classes=10, sm_dim=32, lg_dim=64, sm_patch_size=8,
+               lg_patch_size=16, sm_enc_depth=1, lg_enc_depth=2, sm_enc_mlp_dim=64,
+               lg_enc_mlp_dim=128, cross_attn_depth=2, depth=1, sm_enc_heads=2,
+               lg_enc_heads=2, cross_attn_heads=2, sm_enc_dim_head=16,
+               lg_enc_dim_head=16, cross_attn_dim_head=16)
+    model = ref_mod.CrossViT(**cfg, dropout=0.0, emb_dropout=0.0)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = CrossViT(**cfg)
+    params = import_reference_cross_vit_params(
+        ref_params, depth=1, sm_enc_depth=1, lg_enc_depth=2, cross_attn_depth=2
+    )
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_twins_svt_logit_parity():
+    ref_mod = pytest.importorskip("twins_svt")
+    from vit_tpu.models import TwinsSVT
+    from vit_tpu.utils.importer import import_reference_twins_params
+
+    cfg = dict(num_classes=10, s1_emb_dim=16, s1_depth=1, s2_emb_dim=16,
+               s2_depth=1, s3_emb_dim=32, s3_depth=1, s4_emb_dim=32, s4_depth=1)
+    model = ref_mod.TwinsSVT(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = TwinsSVT(**cfg)
+    params = import_reference_twins_params(ref_params, depths=(1, 1, 1, 1))
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=1e-3, rtol=2e-3
+    )
+
+
+def test_nest_logit_parity():
+    ref_mod = pytest.importorskip("nest")
+    from vit_tpu.models import NesT
+    from vit_tpu.utils.importer import import_reference_nest_params
+
+    cfg = dict(image_size=32, patch_size=4, num_classes=10, dim=32, heads=2,
+               num_hierarchies=2, block_repeats=(1, 1))
+    model = ref_mod.NesT(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = NesT(**cfg)
+    params = import_reference_nest_params(ref_params, 2, (1, 1), (4, 4))
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=1e-3, rtol=2e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

@@ -53,9 +53,11 @@ class _ImageEmbedder(nn.Module):
 
 class _CrossAttendBlock(nn.Module):
     """One round of bidirectional cls<->patch cross-attention
-    (cross_vit.py:133-163). Queries are the branch's cls token projected
-    into the other branch's width; kv are the other branch's patch tokens
-    plus the projected cls itself."""
+    (cross_vit.py:133-163): each branch's cls token is projected into the
+    other branch's width (skipped when widths match, cross_vit.py:114-116),
+    pre-norm cross-attends the other branch's patch tokens (kv including
+    the projected cls itself), projects back, and adds to the unprojected
+    cls residually."""
 
     sm_dim: int
     lg_dim: int
@@ -64,34 +66,34 @@ class _CrossAttendBlock(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
+    def _attend(self, cls, patches, dim_in, dim_out, name, deterministic):
+        q = cls
+        if dim_in != dim_out:
+            q = nn.Dense(dim_out, dtype=self.dtype, name=f"{name}_proj_in")(q)
+        out = Attention(
+            dim=dim_out,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            norm_eps=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )(q, context=patches, kv_include_self=True, deterministic=deterministic)
+        if dim_in != dim_out:
+            out = nn.Dense(dim_in, dtype=self.dtype, name=f"{name}_proj_out")(out)
+        return cls + out
+
     @nn.compact
     def __call__(self, sm, lg, deterministic: bool = True):
         sm_cls, sm_patches = sm[:, :1], sm[:, 1:]
         lg_cls, lg_patches = lg[:, :1], lg[:, 1:]
 
-        # small-branch cls attends large-branch patches
-        q = nn.Dense(self.lg_dim, dtype=self.dtype, name="sm_to_lg")(sm_cls)
-        q = q + Attention(
-            dim=self.lg_dim,
-            heads=self.heads,
-            dim_head=self.dim_head,
-            dropout=self.dropout,
-            dtype=self.dtype,
-            name="sm_attends_lg",
-        )(q, context=lg_patches, kv_include_self=True, deterministic=deterministic)
-        sm_cls = sm_cls + nn.Dense(self.sm_dim, dtype=self.dtype, name="lg_to_sm")(q)
-
-        # large-branch cls attends small-branch patches
-        q = nn.Dense(self.sm_dim, dtype=self.dtype, name="lg_to_sm_q")(lg_cls)
-        q = q + Attention(
-            dim=self.sm_dim,
-            heads=self.heads,
-            dim_head=self.dim_head,
-            dropout=self.dropout,
-            dtype=self.dtype,
-            name="lg_attends_sm",
-        )(q, context=sm_patches, kv_include_self=True, deterministic=deterministic)
-        lg_cls = lg_cls + nn.Dense(self.lg_dim, dtype=self.dtype, name="sm_to_lg_q")(q)
+        sm_cls = self._attend(
+            sm_cls, lg_patches, self.sm_dim, self.lg_dim, "sm_attends_lg", deterministic
+        )
+        lg_cls = self._attend(
+            lg_cls, sm_patches, self.lg_dim, self.sm_dim, "lg_attends_sm", deterministic
+        )
 
         sm = jnp.concatenate([sm_cls, sm_patches], axis=1)
         lg = jnp.concatenate([lg_cls, lg_patches], axis=1)
@@ -142,6 +144,7 @@ class CrossViT(nn.Module):
                 mlp_dim=self.sm_enc_mlp_dim,
                 dropout=self.dropout,
                 final_norm=True,
+                norm_eps=1e-5,
                 dtype=self.dtype,
                 name=f"sm_enc_{i}",
             )(sm, deterministic=det)
@@ -153,6 +156,7 @@ class CrossViT(nn.Module):
                 mlp_dim=self.lg_enc_mlp_dim,
                 dropout=self.dropout,
                 final_norm=True,
+                norm_eps=1e-5,
                 dtype=self.dtype,
                 name=f"lg_enc_{i}",
             )(lg, deterministic=det)
@@ -168,9 +172,9 @@ class CrossViT(nn.Module):
                 )(sm, lg, deterministic=det)
 
         sm_logits = nn.Dense(
-            self.num_classes, dtype=self.dtype, name="sm_head"
-        )(nn.LayerNorm(dtype=self.dtype, name="sm_head_norm")(sm[:, 0]))
+            self.num_classes, dtype=jnp.float32, name="sm_head"
+        )(nn.LayerNorm(epsilon=1e-5, use_bias=False, dtype=jnp.float32, name="sm_head_norm")(sm[:, 0]))
         lg_logits = nn.Dense(
-            self.num_classes, dtype=self.dtype, name="lg_head"
-        )(nn.LayerNorm(dtype=self.dtype, name="lg_head_norm")(lg[:, 0]))
+            self.num_classes, dtype=jnp.float32, name="lg_head"
+        )(nn.LayerNorm(epsilon=1e-5, use_bias=False, dtype=jnp.float32, name="lg_head_norm")(lg[:, 0]))
         return sm_logits + lg_logits

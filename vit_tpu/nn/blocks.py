@@ -252,7 +252,7 @@ class Transformer(nn.Module):
             )
             x, _ = stacked(x, deterministic)
             if self.final_norm:
-                x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+                x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="final_norm")(x)
             return x
         attn_kwargs = dict(
             dim=self.dim,
@@ -311,5 +311,5 @@ class Transformer(nn.Module):
                 x = residual(x, f, i, "ff")
 
         if self.final_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="final_norm")(x)
         return x

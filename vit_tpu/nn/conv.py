@@ -86,8 +86,10 @@ class Downsample(nn.Module):
 
 
 class PatchEmbedding(nn.Module):
-    """Space-to-depth + conv1x1 patch embedding with LayerNorm
-    (twins_svt.py:69-77)."""
+    """Space-to-depth + conv1x1 patch embedding (twins_svt.py:69-77).
+
+    Feature order is channel-major ``(c p1 p2)``, matching the reference's
+    rearrange so its trained projection kernels import unchanged."""
 
     dim_out: int
     patch_size: int
@@ -97,10 +99,10 @@ class PatchEmbedding(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.patch_size
         b, h, w, c = x.shape
-        x = x.reshape(b, h // p, p, w // p, p, c).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, h // p, w // p, p * p * c)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="proj")(x)
+        x = x.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4)  # -> (b, h, w, c, p1, p2)
+        x = x.reshape(b, h // p, w // p, c * p * p)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
 
 
 class CrossEmbedLayer(nn.Module):
@@ -185,6 +187,7 @@ class ConvMLP(nn.Module):
     pre_norm: bool = True
     batch_norm: bool = False  # LeViT flavor: BN between convs
     dim_out: Optional[int] = None
+    ln_eps: float = 1e-5  # the conv-MLP reference files use eps 1e-5 norms
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -209,6 +212,7 @@ class ConvMLP(nn.Module):
             dropout=self.dropout,
             pre_norm=self.pre_norm,
             activation=self.activation,
+            ln_eps=self.ln_eps,
             dtype=self.dtype,
             name="ff",
         )(tokens, deterministic=deterministic)

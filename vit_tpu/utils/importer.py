@@ -289,6 +289,285 @@ def import_reference_pit_params(ref_params: Dict[str, Any], depth: int) -> Dict[
     }
 
 
+def _split_qkv_encoder_layers(tr, depth, *, scan):
+    """vit-style encoder whose Attention keeps split q (Dense_0) / kv
+    (Dense_1) / out (Dense_2) kernels (cross_vit.py:58-72) — concatenated
+    into our fused qkv layout."""
+    import jax
+
+    def layer(i):
+        attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
+        ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
+        attn = tr[f"Attention_{i}"]
+        ff = tr[f"FeedForward_{i}"]
+        zeros = jnp.zeros_like(attn_norm["scale"])
+        a = {
+            "norm_scale": attn_norm["scale"],
+            "norm_bias": zeros,
+            "qkv_kernel": jnp.concatenate(
+                [attn["Dense_0"]["kernel"], attn["Dense_1"]["kernel"]], axis=1
+            ),
+            "out_kernel": attn["Dense_2"]["kernel"],
+            "out_bias": attn["Dense_2"]["bias"],
+        }
+        f = {
+            "ln_scale": ff_norm["scale"],
+            "ln_bias": jnp.zeros_like(ff_norm["scale"]),
+            "w1": ff["Dense_0"]["kernel"],
+            "b1": ff["Dense_0"]["bias"],
+            "w2": ff["Dense_1"]["kernel"],
+            "b2": ff["Dense_1"]["bias"],
+        }
+        return a, f
+
+    encoder = {}
+    if scan and depth > 1:
+        attns, ffs = zip(*(layer(i) for i in range(depth)))
+        encoder["blocks"] = {
+            "attn": jax.tree.map(lambda *xs: jnp.stack(xs), *attns),
+            "ff": jax.tree.map(lambda *xs: jnp.stack(xs), *ffs),
+        }
+    else:
+        for i in range(depth):
+            a, f = layer(i)
+            encoder[f"attn_{i}"] = a
+            encoder[f"ff_{i}"] = f
+    return encoder
+
+
+def import_reference_cross_vit_params(
+    ref_params: Dict[str, Any],
+    *,
+    depth: int,
+    sm_enc_depth: int,
+    lg_enc_depth: int,
+    cross_attn_depth: int,
+) -> Dict[str, Any]:
+    """Map a reference ``cross_vit.py`` tree onto ``vit_tpu.models.CrossViT``.
+
+    Reference layout: ImageEmbedder_{0,1}; MultiScaleEncoder_0 holding
+    Transformer_{2d} (sm) / Transformer_{2d+1} (lg) / CrossTransformer_d,
+    whose cross Attention_{2j}/{2j+1} params sit beside ProjectInOut_{2j}
+    (sm->lg) / ProjectInOut_{2j+1} and scale-only PreNorms; heads are
+    LayerNorm_{0,1} + Dense_{0,1}.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    msa = p["MultiScaleEncoder_0"]
+    out: Dict[str, Any] = {}
+
+    for branch, emb in (("sm", "ImageEmbedder_0"), ("lg", "ImageEmbedder_1")):
+        e = p[emb]
+        out[f"{branch}_embedder"] = {
+            "cls": e["cls"],
+            "pos_embedding": e["pos_embedding"],
+            "patch_embed": {
+                "proj": {"kernel": e["Dense_0"]["kernel"], "bias": e["Dense_0"]["bias"]}
+            },
+        }
+
+    def cross_attention(ct, j, prenorm_dim_zeros):
+        attn = ct[f"Attention_{j}"]
+        norm = ct[f"PreNorm_{j}"]["LayerNorm_0"]
+        return {
+            "norm": {"scale": norm["scale"], "bias": jnp.zeros_like(norm["scale"])},
+            "to_q": {"kernel": attn["Dense_0"]["kernel"]},
+            "to_kv": {"kernel": attn["Dense_1"]["kernel"]},
+            "to_out": {
+                "kernel": attn["Dense_2"]["kernel"],
+                "bias": attn["Dense_2"]["bias"],
+            },
+        }
+
+    for d in range(depth):
+        sm_tr = msa[f"Transformer_{2 * d}"]
+        lg_tr = msa[f"Transformer_{2 * d + 1}"]
+        enc_sm = _split_qkv_encoder_layers(sm_tr, sm_enc_depth, scan=True)
+        fn = sm_tr["LayerNorm_0"]
+        enc_sm["final_norm"] = {"scale": fn["scale"], "bias": jnp.zeros_like(fn["scale"])}
+        out[f"sm_enc_{d}"] = enc_sm
+        enc_lg = _split_qkv_encoder_layers(lg_tr, lg_enc_depth, scan=True)
+        fn = lg_tr["LayerNorm_0"]
+        enc_lg["final_norm"] = {"scale": fn["scale"], "bias": jnp.zeros_like(fn["scale"])}
+        out[f"lg_enc_{d}"] = enc_lg
+
+        ct = msa[f"CrossTransformer_{d}"]
+        for j in range(cross_attn_depth):
+            sm_pio = ct[f"ProjectInOut_{2 * j}"]
+            lg_pio = ct[f"ProjectInOut_{2 * j + 1}"]
+            out[f"cross_{d}_{j}"] = {
+                "sm_attends_lg_proj_in": {
+                    "kernel": sm_pio["Dense_0"]["kernel"],
+                    "bias": sm_pio["Dense_0"]["bias"],
+                },
+                "sm_attends_lg_proj_out": {
+                    "kernel": sm_pio["Dense_1"]["kernel"],
+                    "bias": sm_pio["Dense_1"]["bias"],
+                },
+                "sm_attends_lg": cross_attention(ct, 2 * j, None),
+                "lg_attends_sm_proj_in": {
+                    "kernel": lg_pio["Dense_0"]["kernel"],
+                    "bias": lg_pio["Dense_0"]["bias"],
+                },
+                "lg_attends_sm_proj_out": {
+                    "kernel": lg_pio["Dense_1"]["kernel"],
+                    "bias": lg_pio["Dense_1"]["bias"],
+                },
+                "lg_attends_sm": cross_attention(ct, 2 * j + 1, None),
+            }
+
+    out["sm_head_norm"] = {"scale": p["LayerNorm_0"]["scale"]}
+    out["lg_head_norm"] = {"scale": p["LayerNorm_1"]["scale"]}
+    out["sm_head"] = {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]}
+    out["lg_head"] = {"kernel": p["Dense_1"]["kernel"], "bias": p["Dense_1"]["bias"]}
+    return {"params": out}
+
+
+def _conv1x1_to_dense(conv):
+    """``(1, 1, cin, cout)`` conv kernel -> ``(cin, cout)`` Dense kernel."""
+    k = conv["kernel"]
+    out = {"kernel": k.reshape(k.shape[2], k.shape[3])}
+    if "bias" in conv:
+        out["bias"] = conv["bias"]
+    return out
+
+
+def import_reference_twins_params(
+    ref_params: Dict[str, Any], depths=(1, 1, 5, 4)
+) -> Dict[str, Any]:
+    """Map a reference ``twins_svt.py`` tree onto ``vit_tpu.models.TwinsSVT``.
+
+    Reference layout: PatchEmbedding_{s}, PEG_{s}, and two Transformers per
+    stage (Transformer_{2s}, Transformer_{2s+1}); within a transformer the
+    per-depth creation order is Local/MLP/Global/MLP with PreNorms numbered
+    in that order (stage 4 drops the local pair). 1x1 convs map to Dense
+    kernels; the GSA subsampling conv keeps its (k, k, cin, cout) layout.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    out: Dict[str, Any] = {}
+
+    def block(tr, depth, has_local):
+        b: Dict[str, Any] = {}
+        for i in range(depth):
+            per = 4 if has_local else 2
+            if has_local:
+                la = tr[f"LocalAttention_{i}"]
+                norm = tr[f"PreNorm_{per * i}"]["LayerNorm_0"]
+                b[f"local_{i}"] = {
+                    "norm": {"scale": norm["scale"], "bias": jnp.zeros_like(norm["scale"])},
+                    "to_q": _conv1x1_to_dense(la["Conv_0"]),
+                    "to_kv": _conv1x1_to_dense(la["Conv_1"]),
+                    "to_out": _conv1x1_to_dense(la["Conv_2"]),
+                }
+                ffn = tr[f"PreNorm_{per * i + 1}"]["LayerNorm_0"]
+                mlp = tr[f"MLP_{2 * i}"]
+                b[f"ff1_{i}"] = {"ff": {
+                    "ln_scale": ffn["scale"],
+                    "ln_bias": jnp.zeros_like(ffn["scale"]),
+                    "w1": mlp["Conv_0"]["kernel"].reshape(mlp["Conv_0"]["kernel"].shape[2], -1),
+                    "b1": mlp["Conv_0"]["bias"],
+                    "w2": mlp["Conv_1"]["kernel"].reshape(mlp["Conv_1"]["kernel"].shape[2], -1),
+                    "b2": mlp["Conv_1"]["bias"],
+                }}
+            ga = tr[f"GlobalAttention_{i}"]
+            gnorm = tr[f"PreNorm_{per * i + (2 if has_local else 0)}"]["LayerNorm_0"]
+            b[f"global_{i}"] = {
+                "norm": {"scale": gnorm["scale"], "bias": jnp.zeros_like(gnorm["scale"])},
+                "to_q": _conv1x1_to_dense(ga["Conv_0"]),
+                "to_kv": {"kernel": ga["Conv_1"]["kernel"]},  # (k, k, cin, 2*inner)
+                "to_out": _conv1x1_to_dense(ga["Conv_2"]),
+            }
+            fnorm = tr[f"PreNorm_{per * i + (3 if has_local else 1)}"]["LayerNorm_0"]
+            mlp = tr[f"MLP_{2 * i + 1}" if has_local else f"MLP_{i}"]
+            b[f"ff2_{i}"] = {"ff": {
+                "ln_scale": fnorm["scale"],
+                "ln_bias": jnp.zeros_like(fnorm["scale"]),
+                "w1": mlp["Conv_0"]["kernel"].reshape(mlp["Conv_0"]["kernel"].shape[2], -1),
+                "b1": mlp["Conv_0"]["bias"],
+                "w2": mlp["Conv_1"]["kernel"].reshape(mlp["Conv_1"]["kernel"].shape[2], -1),
+                "b2": mlp["Conv_1"]["bias"],
+            }}
+        return b
+
+    for s in range(1, 5):
+        has_local = s < 4
+        out[f"embed_{s}"] = {"proj": _conv1x1_to_dense(p[f"PatchEmbedding_{s - 1}"]["Conv_0"])}
+        out[f"peg_{s}"] = {"proj": {
+            "kernel": p[f"PEG_{s - 1}"]["Conv_0"]["kernel"],
+            "bias": p[f"PEG_{s - 1}"]["Conv_0"]["bias"],
+        }}
+        out[f"block_a_{s}"] = block(p[f"Transformer_{2 * (s - 1)}"], depths[s - 1], has_local)
+        out[f"block_b_{s}"] = block(p[f"Transformer_{2 * (s - 1) + 1}"], depths[s - 1], has_local)
+
+    out["head"] = {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]}
+    return {"params": out}
+
+
+def import_reference_nest_params(
+    ref_params: Dict[str, Any],
+    num_hierarchies: int,
+    block_repeats,
+    block_grid_sides,
+) -> Dict[str, Any]:
+    """Map a reference ``nest.py`` tree onto ``vit_tpu.models.NesT``.
+
+    Reference Transformer_i = hierarchy i (most blocks first); its 1-D
+    scalar-per-token pos_emb (nest.py:114) broadcasts across channels into
+    our per-(token, channel) embedding. Channel-LN ``g``/``b`` map to
+    ``scale``/``bias``; 1x1 convs to Dense kernels (all bias-free here).
+    ``block_grid_sides[i]`` is the per-hierarchy block fmap side.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    out: Dict[str, Any] = {
+        "proj": _conv1x1_to_dense(p["Conv_0"]),
+        "head_norm": {
+            "scale": p["LayerNorm_0"]["g"].reshape(-1),
+            "bias": p["LayerNorm_0"]["b"].reshape(-1),
+        },
+        "head": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]},
+    }
+
+    layer_idx = 0
+    for li in range(num_hierarchies):
+        tr = p[f"Transformer_{li}"]
+        side = block_grid_sides[li]
+        dim = tr["PreNorm_0"]["LayerNorm_0"]["g"].shape[-1]
+        pos = tr["pos_emb"].reshape(1, side, side, 1)
+        out[f"pos_emb_{li}"] = jnp.broadcast_to(pos, (1, side, side, dim))
+        for d in range(block_repeats[li]):
+            attn = tr[f"Attention_{d}"]
+            ff = tr[f"FeedForward_{d}"]
+            a_norm = tr[f"PreNorm_{2 * d}"]["LayerNorm_0"]
+            f_norm = tr[f"PreNorm_{2 * d + 1}"]["LayerNorm_0"]
+            out[f"attn_{li}_{d}"] = {
+                "norm": {
+                    "scale": a_norm["g"].reshape(-1),
+                    "bias": a_norm["b"].reshape(-1),
+                },
+                "to_qkv": _conv1x1_to_dense(attn["Conv_0"]),
+                "to_out": _conv1x1_to_dense(attn["Conv_1"]),
+            }
+            w1 = ff["Conv_0"]["kernel"]
+            w2 = ff["Conv_1"]["kernel"]
+            out[f"ff_{li}_{d}"] = {"ff": {
+                "ln_scale": f_norm["g"].reshape(-1),
+                "ln_bias": f_norm["b"].reshape(-1),
+                "w1": w1.reshape(w1.shape[2], -1),
+                "b1": jnp.zeros((w1.shape[3],), jnp.float32),
+                "w2": w2.reshape(w2.shape[2], -1),
+                "b2": jnp.zeros((w2.shape[3],), jnp.float32),
+            }}
+        if li + 1 < num_hierarchies:
+            agg = p[f"Aggregate_{li}"]
+            out[f"agg_{li}"] = {
+                "conv": {"kernel": agg["Conv_0"]["kernel"], "bias": agg["Conv_0"]["bias"]},
+                "norm": {
+                    "scale": agg["LayerNorm_0"]["g"].reshape(-1),
+                    "bias": agg["LayerNorm_0"]["b"].reshape(-1),
+                },
+            }
+    return {"params": out}
+
+
 def import_reference_cait_params(
     ref_params: Dict[str, Any], depth: int, cls_depth: int
 ) -> Dict[str, Any]:
