@@ -302,6 +302,81 @@ def test_nest_logit_parity():
     )
 
 
+def test_scalable_vit_logit_parity():
+    ref_mod = pytest.importorskip("scalable_vit")
+    from vit_tpu.models import ScalableViT
+    from vit_tpu.utils.importer import import_reference_scalable_vit_params
+
+    cfg = dict(num_classes=10, dim=32, depth=(1, 1), heads=(2, 4),
+               reduction_factor=(2, 1), window_size=(4, None),
+               ssa_dim_key=16, ssa_dim_value=16, iwsa_dim_key=16, iwsa_dim_value=16)
+    model = ref_mod.ScalableViT(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    # reference_block_order reproduces the tuple-unpack execution order
+    ours = ScalableViT(**cfg, reference_block_order=True)
+    params = import_reference_scalable_vit_params(ref_params, (1, 1))
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=1e-3, rtol=2e-3
+    )
+
+
+def test_cvt_logit_parity_train_mode_bn():
+    ref_mod = pytest.importorskip("cvt")
+    from vit_tpu.models import CvT
+    from vit_tpu.utils.importer import import_reference_cvt_params
+
+    cfg = dict(num_classes=10, s1_emb_dim=16, s1_depth=1, s2_emb_dim=32,
+               s2_depth=1, s3_emb_dim=32, s3_depth=1, s3_heads=2)
+    model = ref_mod.CvT(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_vars = model.init(rngs, img)
+    ref_logits, _ = model.apply(ref_vars, img, mutable=["batch_stats"], rngs=rngs)
+
+    ours = CvT(**cfg)
+    variables = import_reference_cvt_params(ref_vars, depths=(1, 1, 1))
+    our_logits, _ = ours.apply(
+        variables, img, True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=1e-3, rtol=2e-3
+    )
+
+
+def test_levit_logit_parity_train_mode_bn():
+    ref_mod = pytest.importorskip("levit")
+    from vit_tpu.models import LeViT
+    from vit_tpu.utils.importer import import_reference_levit_params
+
+    cfg = dict(image_size=64, num_classes=10, stages=2, dim=(16, 16), depth=1,
+               heads=(1, 2), mlp_mult=2, dim_key=16, dim_value=16,
+               num_distill_classes=5)
+    model = ref_mod.LeViT(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_vars = model.init(rngs, img)
+    (ref_out, ref_distill), _ = model.apply(
+        ref_vars, img, mutable=["batch_stats"], rngs=rngs
+    )
+
+    ours = LeViT(**cfg)
+    variables = import_reference_levit_params(ref_vars, 2, (1, 1), dim_key=16)
+    (our_out, our_distill), _ = ours.apply(
+        variables, img, True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    np.testing.assert_allclose(np.asarray(our_out), np.asarray(ref_out),
+                               atol=1e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(our_distill), np.asarray(ref_distill),
+                               atol=1e-3, rtol=2e-3)
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

@@ -36,7 +36,7 @@ class _ConvAttention(nn.Module):
         inner = self.heads * self.dim_head
         b, h, w, _ = x.shape
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         q = DepthWiseConv2d(
             self.dim, inner, self.proj_kernel, stride=1, use_bias=False,
             batch_norm=True, dtype=self.dtype, name="to_q",

@@ -128,10 +128,13 @@ class LeViT(nn.Module):
                     dtype=self.dtype, name=f"{name}_attn_{d}",
                 )(x, train=train, deterministic=det)
                 x = (x + a) if attn_residual else a
+                # plain conv/hard-swish/conv MLP — no norm of any kind
+                # (levit.py:32-44; the BN lives in the attention projections)
                 x = x + ConvMLP(
                     default(dim_out, dim), self.mlp_mult, self.dropout,
-                    batch_norm=True, dtype=self.dtype, name=f"{name}_mlp_{d}",
-                )(x, deterministic=det, train=train)
+                    activation="hard_swish", pre_norm=False,
+                    dtype=self.dtype, name=f"{name}_mlp_{d}",
+                )(x, deterministic=det)
             return x
 
         for s in range(self.stages):

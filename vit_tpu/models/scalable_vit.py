@@ -112,6 +112,12 @@ class ScalableViT(nn.Module):
     ff_expansion_factor: int = 4
     channels: int = 3
     dropout: float = 0.0
+    # The reference's block tuple is packed [ssa, ff, peg, ff, iwsa] but
+    # unpacked `ssa, ff1, peg, iwsa, ff2` (scalable_vit.py:238-251), so it
+    # actually executes SSA -> FF -> PEG -> FF -> IWSA. Default here is the
+    # paper's alternation; set True to reproduce the reference execution
+    # (required for imported-weight parity).
+    reference_block_order: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -142,14 +148,23 @@ class ScalableViT(nn.Module):
                 )(x, deterministic=det)
                 if i == 0:
                     x = PEG(dims[s], dtype=self.dtype, name=f"peg_{s}")(x)
-                x = x + _IWSA(
-                    dims[s], window[s], heads[s], iwsa_dim_key[s], iwsa_dim_value[s],
-                    self.dropout, dtype=self.dtype, name=f"iwsa_{s}_{i}",
-                )(x, deterministic=det)
-                x = x + ConvMLP(
-                    dims[s], self.ff_expansion_factor, self.dropout,
-                    dtype=self.dtype, name=f"ff2_{s}_{i}",
-                )(x, deterministic=det)
+
+                def iwsa(x):
+                    return x + _IWSA(
+                        dims[s], window[s], heads[s], iwsa_dim_key[s], iwsa_dim_value[s],
+                        self.dropout, dtype=self.dtype, name=f"iwsa_{s}_{i}",
+                    )(x, deterministic=det)
+
+                def ff2(x):
+                    return x + ConvMLP(
+                        dims[s], self.ff_expansion_factor, self.dropout,
+                        dtype=self.dtype, name=f"ff2_{s}_{i}",
+                    )(x, deterministic=det)
+
+                if self.reference_block_order:
+                    x = iwsa(ff2(x))
+                else:
+                    x = ff2(iwsa(x))
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"stage_norm_{s}")(x)
             if s + 1 < n:
                 x = Downsample(dims[s + 1], dtype=self.dtype, name=f"down_{s}")(x)

@@ -568,6 +568,225 @@ def import_reference_nest_params(
     return {"params": out}
 
 
+def import_reference_scalable_vit_params(
+    ref_params: Dict[str, Any], depths
+) -> Dict[str, Any]:
+    """Map a reference ``scalable_vit.py`` tree onto
+    ``vit_tpu.models.ScalableViT`` (use ``reference_block_order=True``:
+    the reference's tuple-unpack bug runs both MLPs before IWSA,
+    scalable_vit.py:238-251, and imported weights follow that order).
+
+    Per depth d: SSA Conv_0 q / Conv_1 k / Conv_2 v / Conv_3 out;
+    IWSA Conv_0 LIM / Conv_1..3 qkv / Conv_4 out; MLP_{2d}, MLP_{2d+1};
+    PreNorm_{4d..4d+3} = [ssa, ff1, ff2, iwsa]; PEG on the first block.
+    """
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    out: Dict[str, Any] = {
+        "patchify": {"kernel": p["Conv_0"]["kernel"], "bias": p["Conv_0"]["bias"]},
+        "head_norm": {
+            "scale": p["LayerNorm_0"]["scale"],
+            "bias": jnp.zeros_like(p["LayerNorm_0"]["scale"]),
+        },
+        "head": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]},
+    }
+
+    def mlp(m, norm):
+        return {"ff": {
+            "ln_scale": norm["scale"],
+            "ln_bias": jnp.zeros_like(norm["scale"]),
+            "w1": m["Conv_0"]["kernel"].reshape(m["Conv_0"]["kernel"].shape[2], -1),
+            "b1": m["Conv_0"]["bias"],
+            "w2": m["Conv_1"]["kernel"].reshape(m["Conv_1"]["kernel"].shape[2], -1),
+            "b2": m["Conv_1"]["bias"],
+        }}
+
+    for s, depth in enumerate(depths):
+        tr = p[f"Transformer_{s}"]
+        out[f"peg_{s}"] = {"proj": {
+            "kernel": tr["PEG_0"]["Conv_0"]["kernel"],
+            "bias": tr["PEG_0"]["Conv_0"]["bias"],
+        }}
+        sn = tr["LayerNorm_0"]
+        out[f"stage_norm_{s}"] = {"scale": sn["scale"], "bias": jnp.zeros_like(sn["scale"])}
+        if s + 1 < len(depths):
+            d = p[f"Downsample_{s}"]["Conv_0"]
+            out[f"down_{s}"] = {"conv": {"kernel": d["kernel"], "bias": d["bias"]}}
+        for i in range(depth):
+            ssa = tr[f"ScalableSelfAttention_{i}"]
+            ssa_norm = tr[f"PreNorm_{4 * i}"]["LayerNorm_0"]
+            out[f"ssa_{s}_{i}"] = {
+                "norm": {"scale": ssa_norm["scale"], "bias": jnp.zeros_like(ssa_norm["scale"])},
+                "to_q": _conv1x1_to_dense(ssa["Conv_0"]),
+                "to_k": {"kernel": ssa["Conv_1"]["kernel"]},
+                "to_v": {"kernel": ssa["Conv_2"]["kernel"]},
+                "to_out": _conv1x1_to_dense(ssa["Conv_3"]),
+            }
+            out[f"ff1_{s}_{i}"] = mlp(tr[f"MLP_{2 * i}"], tr[f"PreNorm_{4 * i + 1}"]["LayerNorm_0"])
+            out[f"ff2_{s}_{i}"] = mlp(tr[f"MLP_{2 * i + 1}"], tr[f"PreNorm_{4 * i + 2}"]["LayerNorm_0"])
+            iwsa = tr[f"InteractiveWindowedSelfAttention_{i}"]
+            iwsa_norm = tr[f"PreNorm_{4 * i + 3}"]["LayerNorm_0"]
+            out[f"iwsa_{s}_{i}"] = {
+                "norm": {"scale": iwsa_norm["scale"], "bias": jnp.zeros_like(iwsa_norm["scale"])},
+                "lim": {"kernel": iwsa["Conv_0"]["kernel"], "bias": iwsa["Conv_0"]["bias"]},
+                "to_q": _conv1x1_to_dense(iwsa["Conv_1"]),
+                "to_k": _conv1x1_to_dense(iwsa["Conv_2"]),
+                "to_v": _conv1x1_to_dense(iwsa["Conv_3"]),
+                "to_out": _conv1x1_to_dense(iwsa["Conv_4"]),
+            }
+    return {"params": out}
+
+
+def import_reference_cvt_params(
+    ref_params: Dict[str, Any], depths=(1, 2, 10)
+) -> Dict[str, Any]:
+    """Map a reference ``cvt.py`` tree (params + batch_stats) onto
+    ``vit_tpu.models.CvT``. Compare in train-mode BN: the reference hardcodes
+    ``use_running_average=False`` (cvt.py:73), so logits depend on batch
+    statistics; run ours with ``train=True, mutable=['batch_stats']``.
+    """
+    p = ref_params["params"]
+    bs = ref_params["batch_stats"]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for s in range(1, len(depths) + 1):
+        conv = p[f"Conv_{s - 1}"]
+        params[f"embed_{s}"] = {"kernel": conv["kernel"], "bias": conv["bias"]}
+        ln = p[f"LayerNorm_{s - 1}"]
+        params[f"embed_norm_{s}"] = {
+            "scale": ln["g"].reshape(-1),
+            "bias": ln["b"].reshape(-1),
+        }
+        tr = p[f"Transformer_{s - 1}"]
+        tr_bs = bs[f"Transformer_{s - 1}"]
+        for i in range(depths[s - 1]):
+            attn = tr[f"Attention_{i}"]
+            attn_bs = tr_bs[f"Attention_{i}"]
+            norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
+            ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
+
+            def dw(src, src_bs):
+                return (
+                    {
+                        "depthwise": {"kernel": src["Conv_0"]["kernel"]},
+                        "bn": {
+                            "scale": src["BatchNorm_0"]["scale"],
+                            "bias": src["BatchNorm_0"]["bias"],
+                        },
+                        "pointwise": {"kernel": src["Conv_1"]["kernel"]},
+                    },
+                    {"bn": {
+                        "mean": src_bs["BatchNorm_0"]["mean"],
+                        "var": src_bs["BatchNorm_0"]["var"],
+                    }},
+                )
+
+            q_p, q_s = dw(attn["DepthWiseConv2d_0"], attn_bs["DepthWiseConv2d_0"])
+            kv_p, kv_s = dw(attn["DepthWiseConv2d_1"], attn_bs["DepthWiseConv2d_1"])
+            params[f"attn_{s}_{i}"] = {
+                "norm": {"scale": norm["scale"], "bias": jnp.zeros_like(norm["scale"])},
+                "to_q": q_p,
+                "to_kv": kv_p,
+                "to_out": _conv1x1_to_dense(attn["Conv_0"]),
+            }
+            stats[f"attn_{s}_{i}"] = {"to_q": q_s, "to_kv": kv_s}
+            ff = tr[f"FeedForward_{i}"]
+            w1 = ff["Conv_0"]["kernel"]
+            w2 = ff["Conv_1"]["kernel"]
+            params[f"ff_{s}_{i}"] = {"ff": {
+                "ln_scale": ff_norm["scale"],
+                "ln_bias": jnp.zeros_like(ff_norm["scale"]),
+                "w1": w1.reshape(w1.shape[2], -1),
+                "b1": jnp.zeros((w1.shape[3],), jnp.float32),
+                "w2": w2.reshape(w2.shape[2], -1),
+                "b2": jnp.zeros((w2.shape[3],), jnp.float32),
+            }}
+
+    params["head"] = {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]}
+    return {"params": params, "batch_stats": stats}
+
+
+def import_reference_levit_params(
+    ref_params: Dict[str, Any], stages: int, depths, dim_key: int = 32
+) -> Dict[str, Any]:
+    """Map a reference ``levit.py`` tree (params + batch_stats) onto
+    ``vit_tpu.models.LeViT`` (train-mode BN comparison, like CvT).
+
+    Reference Transformer indices alternate stage/downsample blocks. The
+    reference adds its positional table as ``bias/scale`` on top of already-
+    scaled logits (levit.py:133-138); this build adds the bias directly, so
+    the imported table is divided by the scale (x sqrt(dim_key)).
+    """
+    p = ref_params["params"]
+    bs = ref_params["batch_stats"]
+    inv_scale = float(dim_key) ** 0.5  # 1 / (dim_key ** -0.5)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for i in range(4):
+        params[f"stem_{i}"] = {
+            "kernel": p[f"Conv_{i}"]["kernel"],
+            "bias": p[f"Conv_{i}"]["bias"],
+        }
+
+    def attention(tr, tr_bs, d):
+        attn = tr[f"Attention_{d}"]
+        attn_bs = tr_bs[f"Attention_{d}"]
+        ap: Dict[str, Any] = {
+            "pos_bias": {"pos_bias": {"embedding": attn["Embed_0"]["embedding"] * inv_scale}},
+        }
+        asb: Dict[str, Any] = {}
+        for j, name in enumerate(("to_q", "to_k", "to_v", "to_out")):
+            conv = {"kernel": attn[f"Conv_{j}"]["kernel"]}
+            if "bias" in attn[f"Conv_{j}"]:
+                conv["bias"] = attn[f"Conv_{j}"]["bias"]
+            ap[f"{name}_conv"] = conv
+            ap[f"{name}_bn"] = {
+                "scale": attn[f"BatchNorm_{j}"]["scale"],
+                "bias": attn[f"BatchNorm_{j}"]["bias"],
+            }
+            asb[f"{name}_bn"] = {
+                "mean": attn_bs[f"BatchNorm_{j}"]["mean"],
+                "var": attn_bs[f"BatchNorm_{j}"]["var"],
+            }
+        return ap, asb
+
+    def mlp(tr, d):
+        m = tr[f"MLP_{d}"]
+        return {"ff": {
+            "w1": m["Conv_0"]["kernel"].reshape(m["Conv_0"]["kernel"].shape[2], -1),
+            "b1": m["Conv_0"]["bias"],
+            "w2": m["Conv_1"]["kernel"].reshape(m["Conv_1"]["kernel"].shape[2], -1),
+            "b2": m["Conv_1"]["bias"],
+        }}
+
+    t = 0
+    for s in range(stages):
+        tr, tr_bs = p[f"Transformer_{t}"], bs[f"Transformer_{t}"]
+        for d in range(depths[s]):
+            ap, asb = attention(tr, tr_bs, d)
+            params[f"stage_{s}_attn_{d}"] = ap
+            stats[f"stage_{s}_attn_{d}"] = asb
+            params[f"stage_{s}_mlp_{d}"] = mlp(tr, d)
+        t += 1
+        if s + 1 < stages:
+            tr, tr_bs = p[f"Transformer_{t}"], bs[f"Transformer_{t}"]
+            ap, asb = attention(tr, tr_bs, 0)
+            params[f"down_{s}_attn_0"] = ap
+            stats[f"down_{s}_attn_0"] = asb
+            params[f"down_{s}_mlp_0"] = mlp(tr, 0)
+            t += 1
+
+    if "Dense_1" in p:  # distill head present: Dense_0 distill, Dense_1 main
+        params["head"] = {"kernel": p["Dense_1"]["kernel"], "bias": p["Dense_1"]["bias"]}
+        params["distill_head"] = {
+            "kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]
+        }
+    else:
+        params["head"] = {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]}
+    return {"params": params, "batch_stats": stats}
+
+
 def import_reference_cait_params(
     ref_params: Dict[str, Any], depth: int, cls_depth: int
 ) -> Dict[str, Any]:
