@@ -71,3 +71,34 @@ def test_benchmark_timer():
     fn = jax.jit(lambda v, x: MODEL.apply(v, x))
     stats = benchmark(fn, variables, img, iters=3, warmup=1, items_per_call=4)
     assert stats["p50_s"] > 0 and stats["items_per_sec"] > 0
+
+
+def test_health_probe_and_retry():
+    from vit_tpu.utils import probe_devices, with_retry
+
+    report = probe_devices()
+    assert report["ok"] and report["devices"] == 8
+    assert report["collective_ok"]
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+        return 42
+
+    assert with_retry(flaky, attempts=3, backoff_s=0.0)() == 42
+
+
+def test_checked_catches_nan():
+    from vit_tpu.utils import checked
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    safe = checked(jax.jit(bad))
+    safe(jnp.ones((4,)))  # fine
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        safe(-jnp.ones((4,)))

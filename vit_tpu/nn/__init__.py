@@ -16,3 +16,4 @@ from vit_tpu.nn.conv import (  # noqa: F401
     Pool,
 )
 from vit_tpu.nn.embed import SPT, PatchEmbed, PatchMerger, ProjectInOut  # noqa: F401
+from vit_tpu.nn.identity import Identity  # noqa: F401

@@ -4,3 +4,5 @@ from vit_tpu.utils.importer import (  # noqa: F401
     import_reference_simple_vit_params,
     import_reference_vit_params,
 )
+from vit_tpu.utils.debug import checked, debug_nans, kernel_sanitizer  # noqa: F401
+from vit_tpu.utils.health import memory_stats, probe_devices, with_retry  # noqa: F401
