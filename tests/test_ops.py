@@ -147,6 +147,32 @@ class TestFusedAttentionBlock:
             np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)
 
 
+class TestDispatcherPaths:
+    def test_model_fused_path_interpret_mode(self):
+        """Drive the full Attention fused-kernel branch (normally TPU-only)
+        in interpreter mode — catches dispatcher-signature drift the
+        XLA-fallback CPU tests can't see."""
+        import os
+
+        from vit_tpu.models import ViT
+
+        model = ViT(image_size=32, patch_size=8, num_classes=10, dim=64,
+                    depth=2, heads=4, mlp_dim=128, dim_head=16)
+        img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+        ref = model.apply(variables, img)  # xla path
+        old = os.environ.get("VIT_TPU_BACKEND")
+        os.environ["VIT_TPU_BACKEND"] = "interpret"
+        try:
+            out = model.apply(variables, img)  # fused kernels, interpreted
+        finally:
+            if old is None:
+                os.environ.pop("VIT_TPU_BACKEND")
+            else:
+                os.environ["VIT_TPU_BACKEND"] = old
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-3)
+
+
 class TestCustomVJP:
     def test_qkv_attention_grads_match_xla(self):
         from vit_tpu.ops.qkv_attention import fused_qkv_attention, xla_qkv_attention

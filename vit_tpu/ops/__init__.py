@@ -99,17 +99,21 @@ def attention(
     )
 
 
-def attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads: int, *, scale=None):
+def attention_block(
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads: int, *, scale=None, ln_eps=1e-6
+):
     """Dispatching fully-fused attention block (LN -> qkv -> attention ->
     out-proj -> +residual); XLA fallback off-TPU."""
     mode = backend_mode()
     if mode == "xla":
         if scale is None:
             scale = (wqkv.shape[1] // 3 // heads) ** -0.5
-        return xla_attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale)
+        return xla_attention_block(
+            x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps
+        )
     return fused_attention_block(
         x, ln_scale, ln_bias, wqkv, wout, bout, heads,
-        scale=scale, interpret=(mode == "interpret"),
+        scale=scale, ln_eps=ln_eps, interpret=(mode == "interpret"),
     )
 
 
