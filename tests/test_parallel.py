@@ -14,7 +14,7 @@ from vit_tpu.parallel import (
     shard_params,
     tp_param_specs,
 )
-from vit_tpu.train import create_train_state, make_train_step, shard_batch
+from vit_tpu.train import create_train_state, make_train_step, shard_batch  # noqa
 
 MODEL = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,
             heads=4, mlp_dim=128, dim_head=16)
@@ -77,3 +77,24 @@ def test_sharded_train_step_runs_and_learns():
     # params kept their TP shardings through the step
     qkv = state.params["encoder"]["blocks"]["attn"]["qkv_kernel"]
     assert "model" in str(qkv.sharding.spec)
+
+
+def test_train_step_batchnorm_model():
+    """CvT trains: BatchNorm state threads through the jitted step."""
+    from vit_tpu.models import CvT
+
+    model = CvT(num_classes=10, s1_emb_dim=8, s1_depth=1, s2_emb_dim=16,
+                s2_depth=1, s3_emb_dim=16, s3_depth=1, s3_heads=2)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    labels = jnp.arange(4) % 10
+    state = create_train_state(model, jax.random.PRNGKey(1), img[:1])
+    assert "batch_stats" in state.model_state
+    step = make_train_step(model)
+    before = jax.tree.leaves(state.model_state["batch_stats"])
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, img, labels)
+        losses.append(float(loss))
+    after = jax.tree.leaves(state.model_state["batch_stats"])
+    assert losses[-1] < losses[0], losses
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))

@@ -31,6 +31,7 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array
+    model_state: Any = {}  # e.g. batch_stats for the BatchNorm models
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -58,11 +59,15 @@ def create_train_state(
     """
     variables = model.init({"params": rng}, sample_images)
     params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
     if mesh is not None:
         params = shard_params(params, mesh, tp_rules)
+        model_state = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), model_state
+        )
     optimizer = optimizer or make_optimizer()
     opt_state = optimizer.init(params)
-    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32), model_state)
 
 
 def make_train_step(model, optimizer=None, *, dropout_seed: int = 0) -> Callable:
@@ -76,26 +81,34 @@ def make_train_step(model, optimizer=None, *, dropout_seed: int = 0) -> Callable
 
     @jax.jit
     def step(state: TrainState, images: jax.Array, labels: jax.Array):
+        has_state = bool(jax.tree_util.tree_leaves(state.model_state))
+
         def loss_fn(params):
-            with ops.force_backend("xla"):
-                logits = model.apply(
-                    {"params": params},
-                    images,
-                    True,
-                    rngs={
-                        "dropout": jax.random.fold_in(
-                            jax.random.PRNGKey(dropout_seed), state.step
-                        )
-                    },
+            rngs = {
+                "dropout": jax.random.fold_in(
+                    jax.random.PRNGKey(dropout_seed), state.step
                 )
+            }
+            with ops.force_backend("xla"):
+                if has_state:
+                    # BatchNorm models: thread mutable state through the step
+                    logits, new_state = model.apply(
+                        {"params": params, **state.model_state},
+                        images, True,
+                        mutable=list(state.model_state.keys()),
+                        rngs=rngs,
+                    )
+                else:
+                    logits = model.apply({"params": params}, images, True, rngs=rngs)
+                    new_state = state.model_state
             if isinstance(logits, tuple):  # LeViT distillation head
                 logits = logits[0]
-            return cross_entropy_loss(logits, labels)
+            return cross_entropy_loss(logits, labels), new_state
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        return TrainState(params, opt_state, state.step + 1, new_state), loss
 
     return step
 
