@@ -36,18 +36,19 @@ def _ln_f32(x, scale, bias, eps=1e-6):
 
 
 def _kernel(
-    x_ref,        # (1, N, D)
+    x_ref,        # (bb, N, D)
     ln_scale_ref,  # (1, D)
     ln_bias_ref,   # (1, D)
     wqkv_ref,      # (D, 3*H*Dh)
     wout_ref,      # (H*Dh, D)
     bout_ref,      # (1, D)
-    o_ref,         # (1, N, D)
+    o_ref,         # (bb, N, D)
     *,
     heads: int,
     d: int,
     scale: float,
     ln_eps: float,
+    batch_tile: int,
 ):
     precision = (
         jax.lax.Precision.HIGHEST
@@ -55,7 +56,10 @@ def _kernel(
         else jax.lax.Precision.DEFAULT
     )
     hd = heads * d
-    x = x_ref[0]
+    n, dim = x_ref.shape[1], x_ref.shape[2]
+    # Flatten the batch tile into the GEMM M dimension (MXU fill: tiling
+    # more than one sample per grid step lifts M past the 197-token fmap).
+    x = x_ref[...].reshape(batch_tile * n, dim)
     xn = _ln_f32(
         x.astype(jnp.float32),
         ln_scale_ref[0].astype(jnp.float32),
@@ -65,36 +69,40 @@ def _kernel(
 
     qkv = jax.lax.dot(
         xn, wqkv_ref[:], preferred_element_type=jnp.float32, precision=precision
-    ).astype(wqkv_ref.dtype)  # (N, 3*H*Dh)
+    ).astype(wqkv_ref.dtype)  # (bb*N, 3*H*Dh)
 
     attn_out_parts = []
-    for h in range(heads):
-        q = qkv[:, h * d : (h + 1) * d]
-        k = qkv[:, hd + h * d : hd + (h + 1) * d]
-        v = qkv[:, 2 * hd + h * d : 2 * hd + (h + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        s *= scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p * pl.reciprocal(l, approx=False)
-        attn_out_parts.append(
-            jax.lax.dot(
-                p.astype(v.dtype), v,
+    for e in range(batch_tile):
+        row0 = e * n
+        head_parts = []
+        for h in range(heads):
+            q = qkv[row0 : row0 + n, h * d : (h + 1) * d]
+            k = qkv[row0 : row0 + n, hd + h * d : hd + (h + 1) * d]
+            v = qkv[row0 : row0 + n, 2 * hd + h * d : 2 * hd + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
-            ).astype(wout_ref.dtype)
-        )
-    attn_out = jnp.concatenate(attn_out_parts, axis=-1)  # (N, H*Dh)
+            )
+            s *= scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = p * pl.reciprocal(l, approx=False)
+            head_parts.append(
+                jax.lax.dot(
+                    p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32, precision=precision,
+                ).astype(wout_ref.dtype)
+            )
+        attn_out_parts.append(jnp.concatenate(head_parts, axis=-1))
+    attn_out = jnp.concatenate(attn_out_parts, axis=0)  # (bb*N, H*Dh)
 
     out = jax.lax.dot(
         attn_out, wout_ref[:], preferred_element_type=jnp.float32, precision=precision
     )
     out += bout_ref[0].astype(jnp.float32)
     out += x.astype(jnp.float32)  # residual, fused
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(batch_tile, n, dim).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -108,21 +116,41 @@ def _attention_block_impl(
     hd = three_hd // 3
     d = hd // heads
 
-    grid = (b,)
+    # Batch tile: lift the GEMM M dim past one sample's token count while
+    # keeping (weights + tile activations + scores) inside ~14MB of VMEM.
+    import os
+
+    bb = 1
+    weights_bytes = (dim * three_hd + hd * dim) * wqkv.dtype.itemsize
+    per_sample = (
+        2 * n * dim * x.dtype.itemsize          # x tile + out tile
+        + 2 * n * three_hd * wqkv.dtype.itemsize  # xn + qkv (bf16)
+        + n * n * 4                               # fp32 scores (per head, reused)
+    )
+    budget = 14 * 1024 * 1024 - weights_bytes
+    while bb < 8 and b % (bb * 2) == 0 and per_sample * (bb * 2) <= budget:
+        bb *= 2
+    override = os.environ.get("VIT_TPU_BLOCK_BB")
+    if override:
+        bb = int(override)
+        assert b % bb == 0
+
+    grid = (b // bb,)
     return pl.pallas_call(
         functools.partial(
-            _kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps
+            _kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps,
+            batch_tile=bb,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, three_hd), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, three_hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * dim * three_hd
