@@ -245,3 +245,37 @@ class TestPatchOps:
         assert out.shape == (1, 8, 8, 15)
         # center copy is the input itself
         np.testing.assert_array_equal(out[..., :3], x)
+
+
+class TestWindowOps:
+    def test_window_partition_matches_einops(self):
+        import einops
+
+        from vit_tpu.ops import window_partition, window_unpartition
+
+        x = rand(0, (2, 8, 8, 5))
+        out = window_partition(x, 4)
+        ref = einops.rearrange(x, "b (h s1) (w s2) d -> (b h w) (s1 s2) d", s1=4, s2=4)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        back = window_unpartition(out, 4, 8, 8)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_dilated_partition_matches_einops(self):
+        import einops
+
+        from vit_tpu.ops import dilated_partition, dilated_unpartition
+
+        x = rand(0, (2, 8, 8, 5))
+        out = dilated_partition(x, 4)
+        ref = einops.rearrange(x, "b (l1 h) (l2 w) d -> (b h w) (l1 l2) d", l1=4, l2=4)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        back = dilated_unpartition(out, 4, 8, 8)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_block_partition_roundtrip(self):
+        from vit_tpu.ops import block_partition, block_unpartition
+
+        x = rand(0, (2, 8, 8, 3))
+        out = block_partition(x, 2)
+        assert out.shape == (8, 4, 4, 3)
+        np.testing.assert_array_equal(np.asarray(block_unpartition(out, 2)), np.asarray(x))

@@ -8,12 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vit_tpu.models import ViT
-from vit_tpu.parallel import (
-    data_parallel_apply,
-    make_mesh,
-    shard_params,
-    tp_param_specs,
-)
+from vit_tpu.parallel import data_parallel_apply, make_mesh, tp_param_specs
 from vit_tpu.train import create_train_state, make_train_step, shard_batch  # noqa
 
 MODEL = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,

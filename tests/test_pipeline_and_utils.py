@@ -3,10 +3,9 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from vit_tpu.models import ViT
-from vit_tpu.pipeline import InferencePipeline, center_crop, normalize, preprocess
+from vit_tpu.pipeline import InferencePipeline, center_crop, preprocess
 
 MODEL = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=1,
             heads=4, mlp_dim=128, dim_head=16)

@@ -14,7 +14,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vit_tpu.core.utils import cast_tuple
 
 
 class DepthWiseConv2d(nn.Module):

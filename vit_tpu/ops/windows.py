@@ -11,7 +11,6 @@ windows ride the kernel's batch*heads grid axis (SURVEY.md §2.4 item 2).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def window_partition(x: jax.Array, wsz: int) -> jax.Array:

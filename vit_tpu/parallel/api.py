@@ -14,13 +14,11 @@ Two complementary paths (SURVEY.md §2.3):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vit_tpu.parallel.mesh import DATA_AXIS
 

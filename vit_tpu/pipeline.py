@@ -11,7 +11,6 @@ one compiled program regardless of ragged final batches).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

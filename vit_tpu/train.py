@@ -15,7 +15,7 @@ kernels serve the inference path until they grow custom VJPs.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
