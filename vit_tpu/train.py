@@ -9,8 +9,9 @@ XLA inserts every collective (grad all-reduce over ``data``, psum over
 step itself is a plain ``jax.jit``.
 
 The train step traces through the XLA op path (``ops.force_backend('xla')``)
-so the partitioner can both shard and differentiate the compute; the Pallas
-kernels serve the inference path until they grow custom VJPs.
+so the GSPMD partitioner can shard every op (Pallas custom-calls carry no
+partitioning rules). The kernels themselves are differentiable (custom VJPs
+with XLA-recompute backwards) and serve single-chip / shard_map training.
 """
 
 from __future__ import annotations
