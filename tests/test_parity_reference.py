@@ -377,6 +377,29 @@ def test_levit_logit_parity_train_mode_bn():
                                atol=1e-3, rtol=2e-3)
 
 
+def test_scalable_vit_logit_parity_scanned_depth():
+    """Depth > 2 exercises the scanned stage blocks + stacked import."""
+    ref_mod = pytest.importorskip("scalable_vit")
+    from vit_tpu.models import ScalableViT
+    from vit_tpu.utils.importer import import_reference_scalable_vit_params
+
+    cfg = dict(num_classes=10, dim=32, depth=(3,), heads=(2,),
+               reduction_factor=(2,), window_size=(4,),
+               ssa_dim_key=16, ssa_dim_value=16, iwsa_dim_key=16, iwsa_dim_value=16)
+    model = ref_mod.ScalableViT(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = ScalableViT(**cfg, reference_block_order=True)
+    params = import_reference_scalable_vit_params(ref_params, (3,))
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=1e-3, rtol=2e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

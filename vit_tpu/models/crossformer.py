@@ -66,6 +66,36 @@ class _LSDAttention(nn.Module):
         return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
 
 
+class _CrossFormerBlock(nn.Module):
+    """One [SDA, MLP, LDA, MLP] block — the scan cell for a stage (blocks
+    within a stage are homogeneous, so the whole stage compiles once)."""
+
+    dim: int
+    local_window_size: int
+    global_window_size: int
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x + _LSDAttention(
+            self.dim, "short", self.local_window_size, dropout=self.attn_dropout,
+            dtype=self.dtype, name="sda",
+        )(x, deterministic=deterministic)
+        x = x + ConvMLP(
+            self.dim, dropout=self.ff_dropout, dtype=self.dtype, name="mlp1"
+        )(x, deterministic=deterministic)
+        x = x + _LSDAttention(
+            self.dim, "long", self.global_window_size, dropout=self.attn_dropout,
+            dtype=self.dtype, name="lda",
+        )(x, deterministic=deterministic)
+        x = x + ConvMLP(
+            self.dim, dropout=self.ff_dropout, dtype=self.dtype, name="mlp2"
+        )(x, deterministic=deterministic)
+        return x, ()
+
+
 class CrossFormer(nn.Module):
     dim: Tuple[int, ...] = (64, 128, 256, 512)
     depth: Tuple[int, ...] = (2, 2, 8, 2)
@@ -94,23 +124,26 @@ class CrossFormer(nn.Module):
                 dtype=self.dtype,
                 name=f"embed_{s}",
             )(x)
-            for i in range(self.depth[s]):
-                x = x + _LSDAttention(
-                    self.dim[s], "short", local_wsz[s], dropout=self.attn_dropout,
-                    dtype=self.dtype, name=f"sda_{s}_{i}",
-                )(x, deterministic=det)
-                x = x + ConvMLP(
-                    self.dim[s], dropout=self.ff_dropout, dtype=self.dtype,
-                    name=f"mlp1_{s}_{i}",
-                )(x, deterministic=det)
-                x = x + _LSDAttention(
-                    self.dim[s], "long", global_wsz[s], dropout=self.attn_dropout,
-                    dtype=self.dtype, name=f"lda_{s}_{i}",
-                )(x, deterministic=det)
-                x = x + ConvMLP(
-                    self.dim[s], dropout=self.ff_dropout, dtype=self.dtype,
-                    name=f"mlp2_{s}_{i}",
-                )(x, deterministic=det)
+            block_cfg = dict(
+                dim=self.dim[s],
+                local_window_size=local_wsz[s],
+                global_window_size=global_wsz[s],
+                attn_dropout=self.attn_dropout,
+                ff_dropout=self.ff_dropout,
+                dtype=self.dtype,
+            )
+            if self.depth[s] > 1:
+                # scan the homogeneous stage: compile ONE block per stage
+                stacked = nn.scan(
+                    _CrossFormerBlock,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    length=self.depth[s],
+                    in_axes=nn.broadcast,
+                )(**block_cfg, name=f"stage_{s}")
+                x, _ = stacked(x, det)
+            else:
+                x, _ = _CrossFormerBlock(**block_cfg, name=f"stage_{s}")(x, det)
 
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -34,6 +34,52 @@ from vit_tpu.nn.blocks import FeedForward
 from vit_tpu.nn.conv import Downsample, PEG
 
 
+class _R2LBlock(nn.Module):
+    """One regional-to-local layer — the scan cell of a stage. The same
+    attention module runs the regional and the joint pass (same-instance
+    semantics, region_vit_flax.py:152-163)."""
+
+    dim: int
+    window_size: int
+    heads: int = 4
+    dim_head: int = 32
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, bias, deterministic: bool = True):
+        local_tokens, region = carry
+        b, lh, lw, d = local_tokens.shape
+        n_win = region.shape[1]
+
+        attn = Attention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.attn_dropout,
+            dtype=self.dtype,
+            name="attn",
+        )
+        ff = FeedForward(
+            self.dim, self.dim * 4, self.ff_dropout, dtype=self.dtype, name="ff"
+        )
+
+        # regional self-attention (global over the region grid)
+        region = region + attn(region, deterministic=deterministic)
+
+        # joint attention: each window prefixed with its region token
+        local_win = ops.window_partition(local_tokens, self.window_size)
+        region_win = region.reshape(b * n_win, 1, d)
+        joint = jnp.concatenate([region_win, local_win], axis=1)
+        joint = joint + attn(joint, bias=bias, deterministic=deterministic)
+        joint = joint + ff(joint, deterministic=deterministic)
+
+        region = joint[:, :1].reshape(b, n_win, d)
+        local_tokens = ops.window_unpartition(joint[:, 1:], self.window_size, lh, lw)
+        return (local_tokens, region), ()
+
+
 class _R2LStage(nn.Module):
     dim: int
     window_size: int
@@ -58,32 +104,28 @@ class _R2LStage(nn.Module):
         )().astype(jnp.float32)
 
         region = region_tokens.reshape(b, rh * rw, d)
-        for i in range(self.depth):
-            attn = Attention(
-                dim=self.dim,
-                heads=self.heads,
-                dim_head=self.dim_head,
-                dropout=self.attn_dropout,
-                dtype=self.dtype,
-                name=f"attn_{i}",
+        cfg = dict(
+            dim=self.dim,
+            window_size=self.window_size,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            dtype=self.dtype,
+        )
+        if self.depth > 1:
+            stacked = nn.scan(
+                _R2LBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+                in_axes=nn.broadcast,
+            )(**cfg, name="blocks")
+            (local_tokens, region), _ = stacked((local_tokens, region), bias, deterministic)
+        else:
+            (local_tokens, region), _ = _R2LBlock(**cfg, name="blocks")(
+                (local_tokens, region), bias, deterministic
             )
-            ff = FeedForward(
-                self.dim, self.dim * 4, self.ff_dropout, dtype=self.dtype, name=f"ff_{i}"
-            )
-
-            # regional self-attention (global over the region grid)
-            region = region + attn(region, deterministic=deterministic)
-
-            # joint attention: each window prefixed with its region token;
-            # the same attention module processes both passes.
-            local_win = ops.window_partition(local_tokens, self.window_size)
-            region_win = region.reshape(b * rh * rw, 1, d)
-            joint = jnp.concatenate([region_win, local_win], axis=1)
-            joint = joint + attn(joint, bias=bias, deterministic=deterministic)
-            joint = joint + ff(joint, deterministic=deterministic)
-
-            region = joint[:, :1].reshape(b, rh * rw, d)
-            local_tokens = ops.window_unpartition(joint[:, 1:], self.window_size, lh, lw)
 
         return local_tokens, region.reshape(b, rh, rw, d)
 

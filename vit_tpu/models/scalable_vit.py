@@ -98,6 +98,53 @@ class _IWSA(nn.Module):
         return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
 
 
+class _ScalableBlock(nn.Module):
+    """One SSA/FF/IWSA/FF block — the scan cell for blocks after the first
+    (the first block of each stage carries the PEG and stays unscanned)."""
+
+    dim: int
+    heads: int
+    ssa_dim_key: int
+    ssa_dim_value: int
+    reduction_factor: int
+    iwsa_dim_key: int
+    iwsa_dim_value: int
+    window_size: Optional[int]
+    ff_expansion_factor: int = 4
+    dropout: float = 0.0
+    reference_block_order: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x + _SSA(
+            self.dim, self.heads, self.ssa_dim_key, self.ssa_dim_value,
+            self.dropout, self.reduction_factor, dtype=self.dtype, name="ssa",
+        )(x, deterministic=deterministic)
+        x = x + ConvMLP(
+            self.dim, self.ff_expansion_factor, self.dropout,
+            dtype=self.dtype, name="ff1",
+        )(x, deterministic=deterministic)
+
+        def iwsa(x):
+            return x + _IWSA(
+                self.dim, self.window_size, self.heads, self.iwsa_dim_key,
+                self.iwsa_dim_value, self.dropout, dtype=self.dtype, name="iwsa",
+            )(x, deterministic=deterministic)
+
+        def ff2(x):
+            return x + ConvMLP(
+                self.dim, self.ff_expansion_factor, self.dropout,
+                dtype=self.dtype, name="ff2",
+            )(x, deterministic=deterministic)
+
+        if self.reference_block_order:
+            x = iwsa(ff2(x))
+        else:
+            x = ff2(iwsa(x))
+        return x, ()
+
+
 class ScalableViT(nn.Module):
     num_classes: int
     dim: int
@@ -137,34 +184,59 @@ class ScalableViT(nn.Module):
         x = nn.Conv(self.dim, (7, 7), strides=4, padding="SAME", dtype=self.dtype, name="patchify")(img)
 
         for s in range(n):
-            for i in range(self.depth[s]):
-                x = x + _SSA(
-                    dims[s], heads[s], ssa_dim_key[s], ssa_dim_value[s],
-                    self.dropout, reduction[s], dtype=self.dtype, name=f"ssa_{s}_{i}",
+            cfg = dict(
+                dim=dims[s],
+                heads=heads[s],
+                ssa_dim_key=ssa_dim_key[s],
+                ssa_dim_value=ssa_dim_value[s],
+                reduction_factor=reduction[s],
+                iwsa_dim_key=iwsa_dim_key[s],
+                iwsa_dim_value=iwsa_dim_value[s],
+                window_size=window[s],
+                ff_expansion_factor=self.ff_expansion_factor,
+                dropout=self.dropout,
+                reference_block_order=self.reference_block_order,
+                dtype=self.dtype,
+            )
+            # First block carries the PEG after its SSA+FF (inserted by
+            # running SSA/FF inline here would duplicate code — instead run
+            # the block with the PEG spliced between its halves).
+            x = x + _SSA(
+                dims[s], heads[s], ssa_dim_key[s], ssa_dim_value[s],
+                self.dropout, reduction[s], dtype=self.dtype, name=f"ssa_{s}_0",
+            )(x, deterministic=det)
+            x = x + ConvMLP(
+                dims[s], self.ff_expansion_factor, self.dropout,
+                dtype=self.dtype, name=f"ff1_{s}_0",
+            )(x, deterministic=det)
+            x = PEG(dims[s], dtype=self.dtype, name=f"peg_{s}")(x)
+
+            def iwsa0(x):
+                return x + _IWSA(
+                    dims[s], window[s], heads[s], iwsa_dim_key[s], iwsa_dim_value[s],
+                    self.dropout, dtype=self.dtype, name=f"iwsa_{s}_0",
                 )(x, deterministic=det)
-                x = x + ConvMLP(
+
+            def ff20(x):
+                return x + ConvMLP(
                     dims[s], self.ff_expansion_factor, self.dropout,
-                    dtype=self.dtype, name=f"ff1_{s}_{i}",
+                    dtype=self.dtype, name=f"ff2_{s}_0",
                 )(x, deterministic=det)
-                if i == 0:
-                    x = PEG(dims[s], dtype=self.dtype, name=f"peg_{s}")(x)
 
-                def iwsa(x):
-                    return x + _IWSA(
-                        dims[s], window[s], heads[s], iwsa_dim_key[s], iwsa_dim_value[s],
-                        self.dropout, dtype=self.dtype, name=f"iwsa_{s}_{i}",
-                    )(x, deterministic=det)
+            x = iwsa0(ff20(x)) if self.reference_block_order else ff20(iwsa0(x))
 
-                def ff2(x):
-                    return x + ConvMLP(
-                        dims[s], self.ff_expansion_factor, self.dropout,
-                        dtype=self.dtype, name=f"ff2_{s}_{i}",
-                    )(x, deterministic=det)
-
-                if self.reference_block_order:
-                    x = iwsa(ff2(x))
-                else:
-                    x = ff2(iwsa(x))
+            rest = self.depth[s] - 1
+            if rest > 1:
+                stacked = nn.scan(
+                    _ScalableBlock,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    length=rest,
+                    in_axes=nn.broadcast,
+                )(**cfg, name=f"stage_{s}")
+                x, _ = stacked(x, det)
+            elif rest == 1:
+                x, _ = _ScalableBlock(**cfg, name=f"stage_{s}")(x, det)
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"stage_norm_{s}")(x)
             if s + 1 < n:
                 x = Downsample(dims[s + 1], dtype=self.dtype, name=f"down_{s}")(x)

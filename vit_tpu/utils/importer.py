@@ -600,6 +600,8 @@ def import_reference_scalable_vit_params(
             "b2": m["Conv_1"]["bias"],
         }}
 
+    import jax
+
     for s, depth in enumerate(depths):
         tr = p[f"Transformer_{s}"]
         out[f"peg_{s}"] = {"proj": {
@@ -611,28 +613,40 @@ def import_reference_scalable_vit_params(
         if s + 1 < len(depths):
             d = p[f"Downsample_{s}"]["Conv_0"]
             out[f"down_{s}"] = {"conv": {"kernel": d["kernel"], "bias": d["bias"]}}
-        for i in range(depth):
+
+        def layer(i):
             ssa = tr[f"ScalableSelfAttention_{i}"]
             ssa_norm = tr[f"PreNorm_{4 * i}"]["LayerNorm_0"]
-            out[f"ssa_{s}_{i}"] = {
-                "norm": {"scale": ssa_norm["scale"], "bias": jnp.zeros_like(ssa_norm["scale"])},
-                "to_q": _conv1x1_to_dense(ssa["Conv_0"]),
-                "to_k": {"kernel": ssa["Conv_1"]["kernel"]},
-                "to_v": {"kernel": ssa["Conv_2"]["kernel"]},
-                "to_out": _conv1x1_to_dense(ssa["Conv_3"]),
-            }
-            out[f"ff1_{s}_{i}"] = mlp(tr[f"MLP_{2 * i}"], tr[f"PreNorm_{4 * i + 1}"]["LayerNorm_0"])
-            out[f"ff2_{s}_{i}"] = mlp(tr[f"MLP_{2 * i + 1}"], tr[f"PreNorm_{4 * i + 2}"]["LayerNorm_0"])
             iwsa = tr[f"InteractiveWindowedSelfAttention_{i}"]
             iwsa_norm = tr[f"PreNorm_{4 * i + 3}"]["LayerNorm_0"]
-            out[f"iwsa_{s}_{i}"] = {
-                "norm": {"scale": iwsa_norm["scale"], "bias": jnp.zeros_like(iwsa_norm["scale"])},
-                "lim": {"kernel": iwsa["Conv_0"]["kernel"], "bias": iwsa["Conv_0"]["bias"]},
-                "to_q": _conv1x1_to_dense(iwsa["Conv_1"]),
-                "to_k": _conv1x1_to_dense(iwsa["Conv_2"]),
-                "to_v": _conv1x1_to_dense(iwsa["Conv_3"]),
-                "to_out": _conv1x1_to_dense(iwsa["Conv_4"]),
+            return {
+                "ssa": {
+                    "norm": {"scale": ssa_norm["scale"], "bias": jnp.zeros_like(ssa_norm["scale"])},
+                    "to_q": _conv1x1_to_dense(ssa["Conv_0"]),
+                    "to_k": {"kernel": ssa["Conv_1"]["kernel"]},
+                    "to_v": {"kernel": ssa["Conv_2"]["kernel"]},
+                    "to_out": _conv1x1_to_dense(ssa["Conv_3"]),
+                },
+                "ff1": mlp(tr[f"MLP_{2 * i}"], tr[f"PreNorm_{4 * i + 1}"]["LayerNorm_0"]),
+                "ff2": mlp(tr[f"MLP_{2 * i + 1}"], tr[f"PreNorm_{4 * i + 2}"]["LayerNorm_0"]),
+                "iwsa": {
+                    "norm": {"scale": iwsa_norm["scale"], "bias": jnp.zeros_like(iwsa_norm["scale"])},
+                    "lim": {"kernel": iwsa["Conv_0"]["kernel"], "bias": iwsa["Conv_0"]["bias"]},
+                    "to_q": _conv1x1_to_dense(iwsa["Conv_1"]),
+                    "to_k": _conv1x1_to_dense(iwsa["Conv_2"]),
+                    "to_v": _conv1x1_to_dense(iwsa["Conv_3"]),
+                    "to_out": _conv1x1_to_dense(iwsa["Conv_4"]),
+                },
             }
+
+        first = layer(0)
+        for key, val in first.items():
+            out[f"{key}_{s}_0"] = val
+        rest = [layer(i) for i in range(1, depth)]
+        if len(rest) > 1:  # scanned: stack along the depth axis
+            out[f"stage_{s}"] = jax.tree.map(lambda *xs: jnp.stack(xs), *rest)
+        elif len(rest) == 1:
+            out[f"stage_{s}"] = rest[0]
     return {"params": out}
 
 
