@@ -400,6 +400,28 @@ def test_scalable_vit_logit_parity_scanned_depth():
     )
 
 
+def test_twins_svt_logit_parity_scanned_depth():
+    """Stage depth > 1 exercises the scanned Twins layers + stacked import."""
+    ref_mod = pytest.importorskip("twins_svt")
+    from vit_tpu.models import TwinsSVT
+    from vit_tpu.utils.importer import import_reference_twins_params
+
+    cfg = dict(num_classes=10, s1_emb_dim=16, s1_depth=1, s2_emb_dim=16,
+               s2_depth=1, s3_emb_dim=32, s3_depth=2, s4_emb_dim=32, s4_depth=2)
+    model = ref_mod.TwinsSVT(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = TwinsSVT(**cfg)
+    params = import_reference_twins_params(ref_params, depths=(1, 1, 2, 2))
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=1e-3, rtol=2e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

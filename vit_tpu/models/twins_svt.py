@@ -86,6 +86,39 @@ class _GlobalAttention(nn.Module):
         return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
 
 
+class _TwinsLayer(nn.Module):
+    """One [local, ff, global, ff] (or global-only) layer — the scan cell."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    mlp_mult: int = 4
+    local_patch_size: int = 7
+    global_k: int = 7
+    dropout: float = 0.0
+    has_local: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        if self.has_local:
+            x = x + _LocalAttention(
+                self.dim, self.heads, self.dim_head, self.dropout,
+                self.local_patch_size, dtype=self.dtype, name="local",
+            )(x, deterministic=deterministic)
+            x = x + ConvMLP(
+                self.dim, self.mlp_mult, self.dropout, dtype=self.dtype, name="ff1"
+            )(x, deterministic=deterministic)
+        x = x + _GlobalAttention(
+            self.dim, self.heads, self.dim_head, self.dropout, self.global_k,
+            dtype=self.dtype, name="global",
+        )(x, deterministic=deterministic)
+        x = x + ConvMLP(
+            self.dim, self.mlp_mult, self.dropout, dtype=self.dtype, name="ff2"
+        )(x, deterministic=deterministic)
+        return x, ()
+
+
 class _TwinsBlock(nn.Module):
     dim: int
     depth: int
@@ -100,23 +133,28 @@ class _TwinsBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        for i in range(self.depth):
-            if self.has_local:
-                x = x + _LocalAttention(
-                    self.dim, self.heads, self.dim_head, self.dropout,
-                    self.local_patch_size, dtype=self.dtype, name=f"local_{i}",
-                )(x, deterministic=deterministic)
-                x = x + ConvMLP(
-                    self.dim, self.mlp_mult, self.dropout, dtype=self.dtype,
-                    name=f"ff1_{i}",
-                )(x, deterministic=deterministic)
-            x = x + _GlobalAttention(
-                self.dim, self.heads, self.dim_head, self.dropout, self.global_k,
-                dtype=self.dtype, name=f"global_{i}",
-            )(x, deterministic=deterministic)
-            x = x + ConvMLP(
-                self.dim, self.mlp_mult, self.dropout, dtype=self.dtype, name=f"ff2_{i}"
-            )(x, deterministic=deterministic)
+        cfg = dict(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            mlp_mult=self.mlp_mult,
+            local_patch_size=self.local_patch_size,
+            global_k=self.global_k,
+            dropout=self.dropout,
+            has_local=self.has_local,
+            dtype=self.dtype,
+        )
+        if self.depth > 1:
+            stacked = nn.scan(
+                _TwinsLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+                in_axes=nn.broadcast,
+            )(**cfg, name="layers")
+            x, _ = stacked(x, deterministic)
+        else:
+            x, _ = _TwinsLayer(**cfg, name="layers")(x, deterministic)
         return x
 
 

@@ -445,48 +445,48 @@ def import_reference_twins_params(
     p = ref_params["params"] if "params" in ref_params else ref_params
     out: Dict[str, Any] = {}
 
+    import jax
+
     def block(tr, depth, has_local):
-        b: Dict[str, Any] = {}
-        for i in range(depth):
+        def mlp_of(m, norm):
+            return {"ff": {
+                "ln_scale": norm["scale"],
+                "ln_bias": jnp.zeros_like(norm["scale"]),
+                "w1": m["Conv_0"]["kernel"].reshape(m["Conv_0"]["kernel"].shape[2], -1),
+                "b1": m["Conv_0"]["bias"],
+                "w2": m["Conv_1"]["kernel"].reshape(m["Conv_1"]["kernel"].shape[2], -1),
+                "b2": m["Conv_1"]["bias"],
+            }}
+
+        def layer(i):
             per = 4 if has_local else 2
+            out: Dict[str, Any] = {}
             if has_local:
                 la = tr[f"LocalAttention_{i}"]
                 norm = tr[f"PreNorm_{per * i}"]["LayerNorm_0"]
-                b[f"local_{i}"] = {
+                out["local"] = {
                     "norm": {"scale": norm["scale"], "bias": jnp.zeros_like(norm["scale"])},
                     "to_q": _conv1x1_to_dense(la["Conv_0"]),
                     "to_kv": _conv1x1_to_dense(la["Conv_1"]),
                     "to_out": _conv1x1_to_dense(la["Conv_2"]),
                 }
-                ffn = tr[f"PreNorm_{per * i + 1}"]["LayerNorm_0"]
-                mlp = tr[f"MLP_{2 * i}"]
-                b[f"ff1_{i}"] = {"ff": {
-                    "ln_scale": ffn["scale"],
-                    "ln_bias": jnp.zeros_like(ffn["scale"]),
-                    "w1": mlp["Conv_0"]["kernel"].reshape(mlp["Conv_0"]["kernel"].shape[2], -1),
-                    "b1": mlp["Conv_0"]["bias"],
-                    "w2": mlp["Conv_1"]["kernel"].reshape(mlp["Conv_1"]["kernel"].shape[2], -1),
-                    "b2": mlp["Conv_1"]["bias"],
-                }}
+                out["ff1"] = mlp_of(tr[f"MLP_{2 * i}"], tr[f"PreNorm_{per * i + 1}"]["LayerNorm_0"])
             ga = tr[f"GlobalAttention_{i}"]
             gnorm = tr[f"PreNorm_{per * i + (2 if has_local else 0)}"]["LayerNorm_0"]
-            b[f"global_{i}"] = {
+            out["global"] = {
                 "norm": {"scale": gnorm["scale"], "bias": jnp.zeros_like(gnorm["scale"])},
                 "to_q": _conv1x1_to_dense(ga["Conv_0"]),
                 "to_kv": {"kernel": ga["Conv_1"]["kernel"]},  # (k, k, cin, 2*inner)
                 "to_out": _conv1x1_to_dense(ga["Conv_2"]),
             }
             fnorm = tr[f"PreNorm_{per * i + (3 if has_local else 1)}"]["LayerNorm_0"]
-            mlp = tr[f"MLP_{2 * i + 1}" if has_local else f"MLP_{i}"]
-            b[f"ff2_{i}"] = {"ff": {
-                "ln_scale": fnorm["scale"],
-                "ln_bias": jnp.zeros_like(fnorm["scale"]),
-                "w1": mlp["Conv_0"]["kernel"].reshape(mlp["Conv_0"]["kernel"].shape[2], -1),
-                "b1": mlp["Conv_0"]["bias"],
-                "w2": mlp["Conv_1"]["kernel"].reshape(mlp["Conv_1"]["kernel"].shape[2], -1),
-                "b2": mlp["Conv_1"]["bias"],
-            }}
-        return b
+            out["ff2"] = mlp_of(tr[f"MLP_{2 * i + 1}" if has_local else f"MLP_{i}"], fnorm)
+            return out
+
+        layers = [layer(i) for i in range(depth)]
+        if depth > 1:  # scanned: stack along the depth axis
+            return {"layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers)}
+        return {"layers": layers[0]}
 
     for s in range(1, 5):
         has_local = s < 4
