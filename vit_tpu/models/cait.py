@@ -26,9 +26,57 @@ from vit_tpu.nn.blocks import FeedForward
 from vit_tpu.nn.embed import PatchEmbed
 
 
+class _CaiTBlock(nn.Module):
+    """One talking-heads attention + FF block with LayerScale and in-graph
+    stochastic depth — the scan cell of a CaiT stage. ``context`` (broadcast
+    through the scan) switches the attention to class-attention."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    ls_eps: float
+    dropout: float = 0.0
+    layer_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context=None, deterministic: bool = True):
+        def gated_residual(x, delta, name):
+            scale = self.param(
+                f"ls_{name}",
+                lambda rng, s: jnp.full(s, self.ls_eps, jnp.float32),
+                (self.dim,),
+            )
+            delta = delta * scale.astype(delta.dtype)
+            if self.layer_dropout > 0.0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.layer_dropout, (x.shape[0], 1, 1)
+                )
+                delta = delta * keep.astype(delta.dtype) / (1.0 - self.layer_dropout)
+            return x + delta
+
+        a = Attention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            talking_heads=True,
+            norm_eps=1e-5,
+            dtype=self.dtype,
+            name="attn",
+        )(x, context=context, kv_include_self=context is not None, deterministic=deterministic)
+        x = gated_residual(x, a, "attn")
+        f = FeedForward(
+            self.dim, self.mlp_dim, self.dropout, ln_eps=1e-5,
+            dtype=self.dtype, name="ff",
+        )(x, deterministic=deterministic)
+        x = gated_residual(x, f, "ff")
+        return x, ()
+
+
 class _CaiTStage(nn.Module):
-    """A stack of talking-heads attention + FF blocks with LayerScale and
-    in-graph stochastic depth; ``context`` switches to class-attention."""
+    """A stack of CaiT blocks, scanned when homogeneous (depth > 1)."""
 
     dim: int
     depth: int
@@ -48,36 +96,27 @@ class _CaiTStage(nn.Module):
             eps = 1e-5
         else:
             eps = 1e-6
-
-        def gated_residual(x, delta, name):
-            scale = self.param(
-                f"ls_{name}", lambda rng, s: jnp.full(s, eps, jnp.float32), (self.dim,)
-            )
-            delta = delta * scale.astype(delta.dtype)
-            if self.layer_dropout > 0.0 and not deterministic:
-                keep = jax.random.bernoulli(
-                    self.make_rng("dropout"), 1.0 - self.layer_dropout, (x.shape[0], 1, 1)
-                )
-                delta = delta * keep.astype(delta.dtype) / (1.0 - self.layer_dropout)
-            return x + delta
-
-        for i in range(self.depth):
-            a = Attention(
-                dim=self.dim,
-                heads=self.heads,
-                dim_head=self.dim_head,
-                dropout=self.dropout,
-                talking_heads=True,
-                norm_eps=1e-5,
-                dtype=self.dtype,
-                name=f"attn_{i}",
-            )(x, context=context, kv_include_self=context is not None, deterministic=deterministic)
-            x = gated_residual(x, a, f"attn_{i}")
-            f = FeedForward(
-                self.dim, self.mlp_dim, self.dropout, ln_eps=1e-5,
-                dtype=self.dtype, name=f"ff_{i}"
-            )(x, deterministic=deterministic)
-            x = gated_residual(x, f, f"ff_{i}")
+        cfg = dict(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            mlp_dim=self.mlp_dim,
+            ls_eps=eps,
+            dropout=self.dropout,
+            layer_dropout=self.layer_dropout,
+            dtype=self.dtype,
+        )
+        if self.depth > 1:
+            stacked = nn.scan(
+                _CaiTBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+                in_axes=nn.broadcast,
+            )(**cfg, name="blocks")
+            x, _ = stacked(x, context, deterministic)
+        else:
+            x, _ = _CaiTBlock(**cfg, name="blocks")(x, context, deterministic)
         return x
 
 

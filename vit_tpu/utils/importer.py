@@ -816,16 +816,17 @@ def import_reference_cait_params(
     """
     p = ref_params["params"] if "params" in ref_params else ref_params
 
+    import jax
+
     def stage(tr, n_layers, self_attention: bool, eps_vals):
-        out: Dict[str, Any] = {}
-        for i in range(n_layers):
+        def layer(i):
             attn = tr[f"Attention_{i}"]
             ff = tr[f"FeedForward_{i}"]
             attn_norm = tr[f"PreNorm_{2 * i}"]["LayerNorm_0"]
             ff_norm = tr[f"PreNorm_{2 * i + 1}"]["LayerNorm_0"]
             zeros = jnp.zeros_like(attn_norm["scale"])
             if self_attention:
-                out[f"attn_{i}"] = {
+                a = {
                     "norm_scale": attn_norm["scale"],
                     "norm_bias": zeros,
                     "qkv_kernel": jnp.concatenate(
@@ -837,7 +838,7 @@ def import_reference_cait_params(
                     "mix_heads_post": attn["mix_heads_post_attn"],
                 }
             else:
-                out[f"attn_{i}"] = {
+                a = {
                     "norm": {"scale": attn_norm["scale"], "bias": zeros},
                     "to_q": {"kernel": attn["Dense_0"]["kernel"]},
                     "to_kv": {"kernel": attn["Dense_1"]["kernel"]},
@@ -848,18 +849,25 @@ def import_reference_cait_params(
                     "mix_heads_pre": attn["mix_heads_pre_attn"],
                     "mix_heads_post": attn["mix_heads_post_attn"],
                 }
-            out[f"ff_{i}"] = {
-                "ln_scale": ff_norm["scale"],
-                "ln_bias": zeros,
-                "w1": ff["Dense_0"]["kernel"],
-                "b1": ff["Dense_0"]["bias"],
-                "w2": ff["Dense_1"]["kernel"],
-                "b2": ff["Dense_1"]["bias"],
-            }
             dim = attn_norm["scale"].shape[0]
-            out[f"ls_attn_{i}"] = jnp.full((dim,), eps_vals, jnp.float32)
-            out[f"ls_ff_{i}"] = jnp.full((dim,), eps_vals, jnp.float32)
-        return out
+            return {
+                "attn": a,
+                "ff": {
+                    "ln_scale": ff_norm["scale"],
+                    "ln_bias": zeros,
+                    "w1": ff["Dense_0"]["kernel"],
+                    "b1": ff["Dense_0"]["bias"],
+                    "w2": ff["Dense_1"]["kernel"],
+                    "b2": ff["Dense_1"]["bias"],
+                },
+                "ls_attn": jnp.full((dim,), eps_vals, jnp.float32),
+                "ls_ff": jnp.full((dim,), eps_vals, jnp.float32),
+            }
+
+        layers = [layer(i) for i in range(n_layers)]
+        if n_layers > 1:  # scanned: stack along the depth axis
+            return {"blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *layers)}
+        return {"blocks": layers[0]}
 
     eps = 0.1 if depth <= 18 else (1e-5 if depth <= 24 else 1e-6)
     head_scale = p["LayerNorm_0"]["scale"]
