@@ -422,6 +422,29 @@ def test_twins_svt_logit_parity_scanned_depth():
     )
 
 
+def test_crossformer_logit_parity_reference_quirks():
+    """reference_quirks=True reproduces the reference's DPB (scalar bias,
+    misindexed offset gather) so imported weights match exactly."""
+    ref_mod = pytest.importorskip("crossformer")
+    from vit_tpu.models import CrossFormer
+    from vit_tpu.utils.importer import import_reference_crossformer_params
+
+    cfg = dict(num_classes=10, dim=(32, 64, 64, 64), depth=(1, 2, 1, 1),
+               global_window_size=(4, 2, 2, 1), local_window_size=7)
+    model = ref_mod.CrossFormer(**cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_params = model.init(rngs, img)
+    ref_logits = model.apply(ref_params, img, rngs=rngs)
+
+    ours = CrossFormer(**cfg, reference_quirks=True)
+    params = import_reference_crossformer_params(ref_params, depths=(1, 2, 1, 1))
+    our_logits = ours.apply(params, img)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), np.asarray(ref_logits), atol=1e-3, rtol=2e-3
+    )
+
+
 def test_vit_logit_parity_bf16(reference_vit):
     """bf16 compute on imported fp32 weights: max-logit error within the
     BASELINE.json tolerance (<=1e-2 scale; tiny-config logits are O(1))."""

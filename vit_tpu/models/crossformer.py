@@ -11,8 +11,10 @@ resolution-independent.
 Fix-or-match decisions: the reference's DPB gathers biases with a
 mismatched index stride (offsets evaluated on a (2w+1) grid but gathered
 with (2w-1) strides, crossformer.py:122-127,154-158) and collapses the bias
-to one scalar per offset (Dense(1), crossformer.py:58); this build computes
-the paper-correct per-head bias on the (2w-1) offset grid.
+to one scalar per offset (Dense(1), crossformer.py:58). By default this
+build computes the paper-correct per-head bias on the (2w-1) offset grid;
+``reference_quirks=True`` reproduces the reference exactly so its trained
+checkpoints import with exact logit parity.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ class _LSDAttention(nn.Module):
     window_size: int
     dim_head: int = 32
     dropout: float = 0.0
+    reference_quirks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -55,7 +58,9 @@ class _LSDAttention(nn.Module):
         else:
             qkv = ops.dilated_partition(qkv, wsz)
 
-        bias = DynamicPositionBias(self.dim // 4, heads, name="dpb")(wsz)
+        bias = DynamicPositionBias(
+            self.dim // 4, heads, reference_quirks=self.reference_quirks, name="dpb"
+        )(wsz)
         out = ops.qkv_attention(qkv, heads, bias=bias.astype(jnp.float32))
 
         if self.attn_type == "short":
@@ -75,20 +80,21 @@ class _CrossFormerBlock(nn.Module):
     global_window_size: int
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    reference_quirks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x + _LSDAttention(
             self.dim, "short", self.local_window_size, dropout=self.attn_dropout,
-            dtype=self.dtype, name="sda",
+            reference_quirks=self.reference_quirks, dtype=self.dtype, name="sda",
         )(x, deterministic=deterministic)
         x = x + ConvMLP(
             self.dim, dropout=self.ff_dropout, dtype=self.dtype, name="mlp1"
         )(x, deterministic=deterministic)
         x = x + _LSDAttention(
             self.dim, "long", self.global_window_size, dropout=self.attn_dropout,
-            dtype=self.dtype, name="lda",
+            reference_quirks=self.reference_quirks, dtype=self.dtype, name="lda",
         )(x, deterministic=deterministic)
         x = x + ConvMLP(
             self.dim, dropout=self.ff_dropout, dtype=self.dtype, name="mlp2"
@@ -106,6 +112,10 @@ class CrossFormer(nn.Module):
     num_classes: int = 1000
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    # Reproduce the reference's DPB exactly (scalar bias, misindexed gather
+    # — see DynamicPositionBias) for exact-weight parity with reference
+    # checkpoints; default is the paper-correct per-head bias.
+    reference_quirks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -130,6 +140,7 @@ class CrossFormer(nn.Module):
                 global_window_size=global_wsz[s],
                 attn_dropout=self.attn_dropout,
                 ff_dropout=self.ff_dropout,
+                reference_quirks=self.reference_quirks,
                 dtype=self.dtype,
             )
             if self.depth[s] > 1:

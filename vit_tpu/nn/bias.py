@@ -72,35 +72,55 @@ class DynamicPositionBias(nn.Module):
     """CrossFormer DPB: a small MLP over continuous relative coordinates —
     resolution-independent by construction (crossformer.py:44-60).
 
-    ``__call__(window_size)`` returns ``[1, heads, w*w, w*w]``.
+    ``__call__(window_size)`` returns ``[1, heads, w*w, w*w]`` (per-head,
+    the paper's formulation). ``reference_quirks=True`` reproduces the
+    reference exactly instead: the MLP collapses to ONE scalar per offset
+    (Dense(1), crossformer.py:58) and the offsets are evaluated on a
+    ``(2w+1)``-spaced grid but gathered with ``(2w-1)`` strides
+    (crossformer.py:122-127,154-158) — a misindexing that still yields a
+    consistent learned bias, just not the geometric one intended. Needed
+    for exact-weight parity with reference checkpoints.
     """
 
     dim: int
     heads: int
+    reference_quirks: bool = False
 
     @nn.compact
     def __call__(self, window_size: int) -> jax.Array:
         w = window_size
-        span = 2 * w - 1
-        # Continuous offsets in [-(w-1), w-1]^2, evaluated once per span and
-        # gathered per token pair (crossformer.py:154-158).
-        offs = np.stack(np.meshgrid(np.arange(span), np.arange(span), indexing="ij"), -1)
-        offs = offs.reshape(-1, 2) - (w - 1)
+        if self.reference_quirks:
+            span_eval = 2 * w + 1  # offsets arange(-w, w+1) per axis
+            offs = np.stack(
+                np.meshgrid(np.arange(span_eval), np.arange(span_eval), indexing="ij"), -1
+            )
+            offs = offs.reshape(-1, 2) - w
+            out_features = 1
+            idx_stride = 2 * w - 1  # the reference's mismatched gather stride
+        else:
+            span_eval = 2 * w - 1
+            offs = np.stack(
+                np.meshgrid(np.arange(span_eval), np.arange(span_eval), indexing="ij"), -1
+            )
+            offs = offs.reshape(-1, 2) - (w - 1)
+            out_features = self.heads
+            idx_stride = span_eval
+
         h = jnp.asarray(offs, jnp.float32)
         h = nn.Dense(self.dim, name="fc0")(h)
-        h = nn.LayerNorm(name="ln0")(h)
+        h = nn.LayerNorm(epsilon=1e-5, use_bias=False, name="ln0")(h)
         h = nn.relu(h)
         h = nn.Dense(self.dim, name="fc1")(h)
-        h = nn.LayerNorm(name="ln1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, use_bias=False, name="ln1")(h)
         h = nn.relu(h)
         h = nn.Dense(self.dim, name="fc2")(h)
-        h = nn.LayerNorm(name="ln2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, use_bias=False, name="ln2")(h)
         h = nn.relu(h)
-        h = nn.Dense(self.heads, name="fc3")(h)  # [span*span, heads]
+        h = nn.Dense(out_features, name="fc3")(h)  # [span_eval^2, out]
 
         coords = _grid_coords(w, w)
         rel = coords[:, None, :] - coords[None, :, :] + (w - 1)
-        idx = rel[..., 0] * span + rel[..., 1]  # [N, N]
-        bias = h[jnp.asarray(idx.reshape(-1))]  # [N*N, heads]
+        idx = rel[..., 0] * idx_stride + rel[..., 1]  # [N, N]
+        bias = h[jnp.asarray(idx.reshape(-1))]  # [N*N, out]
         n = w * w
-        return bias.reshape(n, n, self.heads).transpose(2, 0, 1)[None]
+        return bias.reshape(n, n, out_features).transpose(2, 0, 1)[None]

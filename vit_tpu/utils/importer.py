@@ -801,6 +801,79 @@ def import_reference_levit_params(
     return {"params": params, "batch_stats": stats}
 
 
+def import_reference_crossformer_params(
+    ref_params: Dict[str, Any], depths=(2, 2, 8, 2)
+) -> Dict[str, Any]:
+    """Map a reference ``crossformer.py`` tree onto
+    ``vit_tpu.models.CrossFormer`` (use ``reference_quirks=True``: the
+    reference's DPB is a scalar bias gathered with a mismatched stride —
+    see DynamicPositionBias — and imported weights follow that math).
+    """
+    import jax
+
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    out: Dict[str, Any] = {
+        "head": {"kernel": p["Dense_0"]["kernel"], "bias": p["Dense_0"]["bias"]},
+    }
+
+    def dpb(src):
+        d: Dict[str, Any] = {}
+        for i in range(4):
+            d[f"fc{i}"] = {
+                "kernel": src[f"Dense_{i}"]["kernel"],
+                "bias": src[f"Dense_{i}"]["bias"],
+            }
+        for i in range(3):
+            d[f"ln{i}"] = {"scale": src[f"LayerNorm_{i}"]["scale"]}
+        return d
+
+    def attn(src):
+        return {
+            "norm": {
+                "scale": src["LayerNorm_0"]["g"].reshape(-1),
+                "bias": src["LayerNorm_0"]["b"].reshape(-1),
+            },
+            "to_qkv": _conv1x1_to_dense(src["Conv_0"]),
+            "to_out": _conv1x1_to_dense(src["Conv_1"]),
+            "dpb": dpb(src["DynamicPositionBias_0"]),
+        }
+
+    def conv_mlp(src):
+        w1 = src["Conv_0"]["kernel"]
+        w2 = src["Conv_1"]["kernel"]
+        return {"ff": {
+            "ln_scale": src["LayerNorm_0"]["g"].reshape(-1),
+            "ln_bias": src["LayerNorm_0"]["b"].reshape(-1),
+            "w1": w1.reshape(w1.shape[2], -1),
+            "b1": src["Conv_0"]["bias"],
+            "w2": w2.reshape(w2.shape[2], -1),
+            "b2": src["Conv_1"]["bias"],
+        }}
+
+    for s, depth in enumerate(depths):
+        cel = p[f"CrossEmbedLayer_{s}"]
+        out[f"embed_{s}"] = {
+            f"conv_{i}": {"kernel": c["kernel"], "bias": c["bias"]}
+            for i, c in ((i, cel[f"Conv_{i}"]) for i in range(len(cel)))
+        }
+        tr = p[f"Transformer_{s}"]
+
+        def block(i):
+            return {
+                "sda": attn(tr[f"Attention_{2 * i}"]),
+                "mlp1": conv_mlp(tr[f"MLP_{2 * i}"]),
+                "lda": attn(tr[f"Attention_{2 * i + 1}"]),
+                "mlp2": conv_mlp(tr[f"MLP_{2 * i + 1}"]),
+            }
+
+        blocks = [block(i) for i in range(depth)]
+        if depth > 1:  # scanned stage
+            out[f"stage_{s}"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        else:
+            out[f"stage_{s}"] = blocks[0]
+    return {"params": out}
+
+
 def import_reference_cait_params(
     ref_params: Dict[str, Any], depth: int, cls_depth: int
 ) -> Dict[str, Any]:
