@@ -454,3 +454,27 @@ def test_vit_logit_parity_bf16(reference_vit):
     our_logits = ours.apply(params, img.astype(jnp.bfloat16))
     err = np.max(np.abs(np.asarray(our_logits, np.float32) - np.asarray(ref_logits)))
     assert err <= 5e-2, f"bf16 max-logit error {err}"
+
+
+def test_region_vit_reference_is_nan_on_modern_jax_ours_is_finite():
+    """Why RegionViT has no parity test: the reference's rel-pos gather
+    indexes its 169-entry table far out of range (window ratio is 4x the
+    table's window, region_vit_flax.py:130-149), and modern JAX fills
+    out-of-bounds gathers with NaN — so the reference returns all-NaN
+    logits (with the wrong rank, region_vit_flax.py:254-256) for every
+    config. This build fixes the architecture instead of reproducing NaN."""
+    ref_mod = pytest.importorskip("region_vit_flax")
+    from vit_tpu.models import RegionViT
+
+    cfg = dict(dim=(16, 16, 32, 32), depth=(1, 1, 1, 1), window_size=7, num_classes=10)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    ref_model = ref_mod.RegionViT(**cfg)
+    ref_out = ref_model.apply(ref_model.init(rngs, img), img, rngs=rngs)
+    assert ref_out.ndim == 4  # broken rank (bug register #3)
+    assert bool(jnp.isnan(ref_out).all())  # NaN everywhere (OOB gather fill)
+
+    ours = RegionViT(**cfg)
+    out = ours.apply(ours.init({"params": jax.random.PRNGKey(1)}, img), img)
+    assert out.shape == (1, 10)
+    assert bool(jnp.isfinite(out).all())
