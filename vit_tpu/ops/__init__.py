@@ -81,6 +81,15 @@ def backend_mode() -> str:
     return mode
 
 
+# Below this sequence length the Pallas kernels lose to XLA's batched
+# einsums: window attention at w=7..8 (49-64 tokens) means thousands of
+# tiny per-window programs whose launch/DMA overhead dominates, while XLA
+# folds all windows into one large batched matmul (measured: CrossFormer
+# 964 vs 1473 img/s before this threshold). ViT-scale sequences (197+)
+# stay on the kernels.
+_MIN_PALLAS_SEQ = 128
+
+
 def attention(
     q,
     k,
@@ -92,7 +101,7 @@ def attention(
 ):
     """Dispatching multi-head attention: ``[B, H, N, D]`` in/out."""
     mode = backend_mode()
-    if mode == "xla":
+    if mode == "xla" or (mode == "pallas" and k.shape[2] < _MIN_PALLAS_SEQ):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     return flash_attention(
         q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
@@ -105,7 +114,7 @@ def attention_block(
     """Dispatching fully-fused attention block (LN -> qkv -> attention ->
     out-proj -> +residual); XLA fallback off-TPU."""
     mode = backend_mode()
-    if mode == "xla":
+    if mode == "xla" or (mode == "pallas" and x.shape[1] < _MIN_PALLAS_SEQ):
         if scale is None:
             scale = (wqkv.shape[1] // 3 // heads) ** -0.5
         return xla_attention_block(
@@ -124,7 +133,8 @@ def qkv_attention(qkv, heads: int, bias=None, *, scale: Optional[float] = None):
     heads explicitly (the compiler fuses those transposes into the GEMMs).
     """
     mode = backend_mode()
-    if mode != "xla":
+    small_seq = qkv.shape[1] < _MIN_PALLAS_SEQ
+    if mode == "interpret" or (mode == "pallas" and not small_seq):
         return fused_qkv_attention(
             qkv, heads, bias, scale=scale, interpret=(mode == "interpret")
         )
