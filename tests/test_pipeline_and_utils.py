@@ -101,3 +101,25 @@ def test_checked_catches_nan():
     import pytest as _pytest
     with _pytest.raises(Exception):
         safe(-jnp.ones((4,)))
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    from vit_tpu.train import create_train_state
+    from vit_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    img = jnp.ones((1, 32, 32, 3))
+    state = create_train_state(MODEL, jax.random.PRNGKey(0), img)
+    path = str(tmp_path / "train_ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, target=state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+    assert int(restored.step) == 0
+
+
+def test_registry_covers_all_17_families():
+    from vit_tpu.models import MODEL_REGISTRY
+
+    assert len(MODEL_REGISTRY) == 17
