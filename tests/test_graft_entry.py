@@ -1,0 +1,84 @@
+"""Driver-entry seam tests (VERDICT r1 weak #1/#7).
+
+Round 1's MULTICHIP artifact failed because ``dryrun_multichip`` was only
+ever exercised under conftest's CPU pinning — the driver calls it in a fresh
+process where sitecustomize force-selects the 1-chip TPU. These tests
+replicate the driver invocation exactly: a fresh interpreter, conftest env
+pins stripped, ``python -c "import __graft_entry__; ..."``.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_env():
+    """Environment as the driver would have it: no conftest CPU pinning."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    if flags:
+        env["XLA_FLAGS"] = " ".join(flags)
+    else:
+        env.pop("XLA_FLAGS", None)
+    return env
+
+
+def test_dryrun_multichip_fresh_subprocess():
+    # Exactly what the driver runs (MULTICHIP_r{N}.json).
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        env=_driver_env(),
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, (
+        f"driver-style dryrun failed:\nSTDOUT:\n{result.stdout}\n"
+        f"STDERR:\n{result.stderr}"
+    )
+    assert "dryrun_multichip ok" in result.stdout
+    assert "sharded_forward_max_err" in result.stdout
+
+
+def test_dryrun_body_in_process():
+    # Under conftest's 8-device CPU mesh the body runs in-process.
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_lowering_fresh_subprocess():
+    # Compile-check entry() the way the driver does, but lower-only (no TPU
+    # execution needed; ViT-L runs are the bench's job).
+    code = (
+        "import __graft_entry__, jax; "
+        "fn, args = __graft_entry__.entry(); "
+        "jax.jit(fn).lower(*args); "
+        "print('entry lowering ok')"
+    )
+    env = dict(os.environ)  # keep conftest CPU pins if present: lowering is
+    # backend-agnostic and CPU avoids tunnel latency
+    result = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, (
+        f"entry() lowering failed:\nSTDOUT:\n{result.stdout}\n"
+        f"STDERR:\n{result.stderr}"
+    )
+    assert "entry lowering ok" in result.stdout

@@ -38,9 +38,20 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
-        assert n % n_model == 0, f"{n} devices not divisible by n_model={n_model}"
+        if n % n_model != 0:
+            raise ValueError(
+                f"{n} available device(s) not divisible by n_model={n_model}"
+            )
         n_data = n // n_model
-    assert n_data * n_model <= n
+    if n_data * n_model > n:
+        raise ValueError(
+            f"mesh needs n_data*n_model = {n_data}*{n_model} = {n_data * n_model} "
+            f"devices but only {n} available ({devices[0].platform}). For a "
+            "virtual multi-device mesh, start the process with "
+            "JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "(see tests/conftest.py), or use __graft_entry__.dryrun_multichip "
+            "which self-provisions one."
+        )
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
