@@ -192,6 +192,33 @@ class TestCustomVJP:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(a, b_, atol=1e-4, rtol=1e-4)
 
+    def test_flash_attention_grads_match_xla(self):
+        """jax.grad through the flash kernel (ADVICE r1: the one kernel that
+        lacked a custom VJP — every window/pyramid family and cross-attention
+        reach it via mha_tokens / ops.attention)."""
+        from vit_tpu.ops.flash_attention import flash_attention, reference_attention
+
+        b, h, n, d = 2, 3, 40, 16
+        q, k, v = rand(0, (b, h, n, d)), rand(1, (b, h, n, d)), rand(2, (b, h, n, d))
+        bias = rand(3, (1, h, n, n))
+
+        for extra in ({}, {"mask_self": True}):
+            g1 = jax.grad(
+                lambda *a: jnp.sum(flash_attention(*a, interpret=True, **extra) ** 2),
+                argnums=(0, 1, 2, 3),
+            )(q, k, v, bias)
+            g2 = jax.grad(
+                lambda *a: jnp.sum(reference_attention(*a, **extra) ** 2),
+                argnums=(0, 1, 2, 3),
+            )(q, k, v, bias)
+            for a, b_ in zip(g1, g2):
+                np.testing.assert_allclose(a, b_, atol=2e-4, rtol=2e-4)
+
+        # bias=None path: custom_vjp must thread the empty pytree through
+        g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v, interpret=True) ** 2))(q)
+        gr = jax.grad(lambda q: jnp.sum(reference_attention(q, k, v) ** 2))(q)
+        np.testing.assert_allclose(g, gr, atol=2e-4, rtol=2e-4)
+
     def test_fused_mlp_grads_match_xla(self):
         from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
 

@@ -36,10 +36,12 @@ class FeedForward(nn.Module):
     dense_bias: bool = True
     activation: str = "gelu"
     ln_eps: float = 1e-6
+    dim_out: Optional[int] = None  # output width; None = dim
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dim_out = self.dim_out or self.dim
         w1 = self.param(
             "w1", nn.initializers.lecun_normal(), (self.dim, self.hidden_dim), jnp.float32
         )
@@ -49,10 +51,10 @@ class FeedForward(nn.Module):
             else None
         )
         w2 = self.param(
-            "w2", nn.initializers.lecun_normal(), (self.hidden_dim, self.dim), jnp.float32
+            "w2", nn.initializers.lecun_normal(), (self.hidden_dim, dim_out), jnp.float32
         )
         b2 = (
-            self.param("b2", nn.initializers.zeros, (self.dim,), jnp.float32)
+            self.param("b2", nn.initializers.zeros, (dim_out,), jnp.float32)
             if self.dense_bias
             else None
         )

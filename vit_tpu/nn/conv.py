@@ -212,6 +212,7 @@ class ConvMLP(nn.Module):
             pre_norm=self.pre_norm,
             activation=self.activation,
             ln_eps=self.ln_eps,
+            dim_out=dim_out,
             dtype=self.dtype,
             name="ff",
         )(tokens, deterministic=deterministic)

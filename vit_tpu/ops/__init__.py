@@ -71,14 +71,24 @@ def force_backend(mode: str):
         _backend_override.reset(token)
 
 
-def backend_mode() -> str:
+def _resolved_mode() -> tuple[str, bool]:
+    """Resolved backend mode and whether it came from ``auto``.
+
+    The shape heuristics below (``_MIN_PALLAS_SEQ``) apply only to
+    auto-resolved modes: an explicit ``pallas`` (env var or
+    ``force_backend``) is honored unconditionally so kernel tests and
+    benchmarks measure what they ask for."""
     override = _backend_override.get()
     if override is not None:
-        return override
+        return override, False
     mode = os.environ.get("VIT_TPU_BACKEND", "auto")
     if mode == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
-    return mode
+        return ("pallas" if jax.default_backend() == "tpu" else "xla"), True
+    return mode, False
+
+
+def backend_mode() -> str:
+    return _resolved_mode()[0]
 
 
 # Below this sequence length the Pallas kernels lose to XLA's batched
@@ -100,8 +110,8 @@ def attention(
     mask_self: bool = False,
 ):
     """Dispatching multi-head attention: ``[B, H, N, D]`` in/out."""
-    mode = backend_mode()
-    if mode == "xla" or (mode == "pallas" and k.shape[2] < _MIN_PALLAS_SEQ):
+    mode, auto = _resolved_mode()
+    if mode == "xla" or (auto and mode == "pallas" and k.shape[2] < _MIN_PALLAS_SEQ):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     return flash_attention(
         q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
@@ -113,8 +123,8 @@ def attention_block(
 ):
     """Dispatching fully-fused attention block (LN -> qkv -> attention ->
     out-proj -> +residual); XLA fallback off-TPU."""
-    mode = backend_mode()
-    if mode == "xla" or (mode == "pallas" and x.shape[1] < _MIN_PALLAS_SEQ):
+    mode, auto = _resolved_mode()
+    if mode == "xla" or (auto and mode == "pallas" and x.shape[1] < _MIN_PALLAS_SEQ):
         if scale is None:
             scale = (wqkv.shape[1] // 3 // heads) ** -0.5
         return xla_attention_block(
@@ -132,8 +142,8 @@ def qkv_attention(qkv, heads: int, bias=None, *, scale: Optional[float] = None):
     The TPU path is the zero-copy head-sliced kernel; the XLA path splits
     heads explicitly (the compiler fuses those transposes into the GEMMs).
     """
-    mode = backend_mode()
-    small_seq = qkv.shape[1] < _MIN_PALLAS_SEQ
+    mode, auto = _resolved_mode()
+    small_seq = auto and qkv.shape[1] < _MIN_PALLAS_SEQ
     if mode == "interpret" or (mode == "pallas" and not small_seq):
         return fused_qkv_attention(
             qkv, heads, bias, scale=scale, interpret=(mode == "interpret")

@@ -109,7 +109,7 @@ def _attn_kernel(
     jax.jit,
     static_argnames=("scale", "mask_self", "block_q", "interpret"),
 )
-def flash_attention(
+def _flash_attention_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -120,21 +120,6 @@ def flash_attention(
     block_q: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused multi-head attention.
-
-    Args:
-      q: ``[B, H, Nq, D]`` queries.
-      k: ``[B, H, Nk, D]`` keys.
-      v: ``[B, H, Nk, D]`` values.
-      bias: optional additive logits bias, broadcastable ``[B|1, H|1, Nq, Nk]``.
-      scale: logit scale; defaults to ``D ** -0.5``.
-      mask_self: mask the q==k diagonal (LSA).
-      block_q: Q tile size (rounded to the padded Nq).
-      interpret: run the kernel in Pallas interpreter mode (CPU testing).
-
-    Returns:
-      ``[B, H, Nq, D]`` attention output in the dtype of ``v``.
-    """
     b, h, nq, d = q.shape
     nk = k.shape[2]
     dv = v.shape[-1]  # value head dim may differ (levit.py:56, scalable_vit.py:104)
@@ -215,6 +200,74 @@ def flash_attention(
     )(*args)
 
     return out[:, :nq, :].reshape(b, h, nq, dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_ad(q, k, v, bias, scale, mask_self, block_q, interpret):
+    return _flash_attention_impl(
+        q, k, v, bias,
+        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    )
+
+
+def _flash_fwd(q, k, v, bias, scale, mask_self, block_q, interpret):
+    out = _flash_attention_impl(
+        q, k, v, bias,
+        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    )
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(scale, mask_self, block_q, interpret, res, g):
+    q, k, v, bias = res
+
+    def f(q, k, v, bias):
+        return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
+
+    out_dtype = jnp.result_type(v.dtype)
+    _, vjp = jax.vjp(f, q, k, v, bias)
+    return vjp(g.astype(out_dtype))
+
+
+_flash_attention_ad.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    mask_self: bool = False,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused multi-head attention.
+
+    Differentiable: Pallas forward, XLA-recompute backward (custom VJP —
+    same scheme as ``fused_qkv_attention``/``fused_mlp``), so
+    ``jax.grad`` through ``ops.attention``'s Pallas path works for every
+    window/pyramid family and cross-attention.
+
+    Args:
+      q: ``[B, H, Nq, D]`` queries.
+      k: ``[B, H, Nk, D]`` keys.
+      v: ``[B, H, Nk, D]`` values.
+      bias: optional additive logits bias, broadcastable ``[B|1, H|1, Nq, Nk]``.
+      scale: logit scale; defaults to ``D ** -0.5``.
+      mask_self: mask the q==k diagonal (LSA).
+      block_q: Q tile size (rounded to the padded Nq).
+      interpret: run the kernel in Pallas interpreter mode (CPU testing).
+
+    Returns:
+      ``[B, H, Nq, D]`` attention output in the dtype of ``v``.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_attention_ad(
+        q, k, v, bias, float(scale), bool(mask_self), int(block_q), bool(interpret)
+    )
 
 
 def reference_attention(
