@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from vit_tpu import ops
 from vit_tpu.nn.attention import Attention
-from vit_tpu.nn.bias import WindowRelPosBias
+from vit_tpu.nn.bias import ReferenceWindowRelPosBias, WindowRelPosBias
 from vit_tpu.nn.blocks import FeedForward
 from vit_tpu.nn.conv import Downsample, PEG
 
@@ -45,6 +45,7 @@ class _R2LBlock(nn.Module):
     dim_head: int = 32
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    norm_eps: float = 1e-5  # every LayerNorm in region_vit_flax.py uses 1e-5
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -58,11 +59,13 @@ class _R2LBlock(nn.Module):
             heads=self.heads,
             dim_head=self.dim_head,
             dropout=self.attn_dropout,
+            norm_eps=self.norm_eps,
             dtype=self.dtype,
             name="attn",
         )
         ff = FeedForward(
-            self.dim, self.dim * 4, self.ff_dropout, dtype=self.dtype, name="ff"
+            self.dim, self.dim * 4, self.ff_dropout, ln_eps=self.norm_eps,
+            dtype=self.dtype, name="ff",
         )
 
         # regional self-attention (global over the region grid)
@@ -88,6 +91,10 @@ class _R2LStage(nn.Module):
     dim_head: int = 32
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    # Reproduce the reference-as-executed-on-TPU: windows sized by the
+    # local/region ratio (4x the declared window at the default config) and
+    # the clamped out-of-range rel-pos gather (see ReferenceWindowRelPosBias).
+    reference_quirks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -95,18 +102,25 @@ class _R2LStage(nn.Module):
         b, lh, lw, d = local_tokens.shape
         rh, rw = region_tokens.shape[1:3]
         wsz_h, wsz_w = lh // rh, lw // rw
-        assert wsz_h == wsz_w == self.window_size, (
-            f"local/region ratio {wsz_h}x{wsz_w} != window_size {self.window_size}"
-        )
-
-        bias = WindowRelPosBias(
-            self.heads, self.window_size, prepend_tokens=1, name="rel_pos_bias"
-        )().astype(jnp.float32)
+        if self.reference_quirks:
+            window = wsz_h
+            assert wsz_h == wsz_w, f"non-square ratio {wsz_h}x{wsz_w}"
+            bias = ReferenceWindowRelPosBias(
+                self.heads, self.window_size, wsz_h, wsz_w, name="rel_pos_bias"
+            )().astype(jnp.float32)
+        else:
+            window = self.window_size
+            assert wsz_h == wsz_w == self.window_size, (
+                f"local/region ratio {wsz_h}x{wsz_w} != window_size {self.window_size}"
+            )
+            bias = WindowRelPosBias(
+                self.heads, self.window_size, prepend_tokens=1, name="rel_pos_bias"
+            )().astype(jnp.float32)
 
         region = region_tokens.reshape(b, rh * rw, d)
         cfg = dict(
             dim=self.dim,
-            window_size=self.window_size,
+            window_size=window,
             heads=self.heads,
             dim_head=self.dim_head,
             attn_dropout=self.attn_dropout,
@@ -140,6 +154,15 @@ class RegionViT(nn.Module):
     use_peg: bool = False
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    # Reproduce the reference exactly as it executes on TPU, for
+    # imported-checkpoint parity: regional tokens space-to-depthed
+    # (channel-major) from the downsampled local fmap so windows are the
+    # 4x local/region ratio (region_vit_flax.py:243-247), ONE Downsample
+    # instance shared by local and regional tokens (:250, bug register
+    # #14), clamped out-of-range rel-pos gathers (:137-149), and the 4-D
+    # unpooled logit map (:254-256, bug register #3). Default False = the
+    # fixed architecture documented in the module docstring.
+    reference_quirks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -163,16 +186,36 @@ class RegionViT(nn.Module):
                 init_dim, (8, 8), strides=4, padding="SAME", dtype=self.dtype, name="local_conv"
             )(img)
 
-        # regional tokens from the original image (see fix note above)
-        region = ops.patchify(img, region_patch_size)
-        rh = h // region_patch_size
-        region = region.reshape(img.shape[0], rh, w // region_patch_size, -1)
-        region_tokens = nn.Dense(init_dim, dtype=self.dtype, name="region_proj")(region)
+        if self.reference_quirks:
+            # regional tokens from the DOWNSAMPLED local fmap, channel-major
+            # space-to-depth ('b (h p1) (w p2) c -> b h w (c p1 p2)',
+            # region_vit_flax.py:243), projected by a 1x1 conv (:244-247).
+            bsz, lh0, lw0, c0 = local_tokens.shape
+            p = region_patch_size
+            rh0, rw0 = lh0 // p, lw0 // p
+            xr = local_tokens.reshape(bsz, rh0, p, rw0, p, c0)
+            xr = xr.transpose(0, 1, 3, 5, 2, 4).reshape(bsz, rh0, rw0, c0 * p * p)
+            region_tokens = nn.Dense(init_dim, dtype=self.dtype, name="region_proj")(xr)
+        else:
+            # fixed model: regional tokens from the original image (see
+            # fix note above) so the local/region ratio equals window_size
+            region = ops.patchify(img, region_patch_size)
+            rh = h // region_patch_size
+            region = region.reshape(img.shape[0], rh, w // region_patch_size, -1)
+            region_tokens = nn.Dense(init_dim, dtype=self.dtype, name="region_proj")(region)
 
         for s in range(len(self.dim)):
             if s > 0:
-                local_tokens = Downsample(self.dim[s], dtype=self.dtype, name=f"local_down_{s}")(local_tokens)
-                region_tokens = Downsample(self.dim[s], dtype=self.dtype, name=f"region_down_{s}")(region_tokens)
+                if self.reference_quirks:
+                    # ONE Downsample instance for both token sets — shared
+                    # conv weights (same-instance flax semantics,
+                    # region_vit_flax.py:250)
+                    down = Downsample(self.dim[s], dtype=self.dtype, name=f"down_{s}")
+                    local_tokens = down(local_tokens)
+                    region_tokens = down(region_tokens)
+                else:
+                    local_tokens = Downsample(self.dim[s], dtype=self.dtype, name=f"local_down_{s}")(local_tokens)
+                    region_tokens = Downsample(self.dim[s], dtype=self.dtype, name=f"region_down_{s}")(region_tokens)
                 if self.use_peg:
                     local_tokens = PEG(self.dim[s], dtype=self.dtype, name=f"peg_{s}")(local_tokens)
             local_tokens, region_tokens = _R2LStage(
@@ -181,9 +224,16 @@ class RegionViT(nn.Module):
                 depth=self.depth[s],
                 attn_dropout=self.attn_dropout,
                 ff_dropout=self.ff_dropout,
+                reference_quirks=self.reference_quirks,
                 dtype=self.dtype,
                 name=f"stage_{s}",
             )(local_tokens, region_tokens, deterministic=det)
+
+        if self.reference_quirks:
+            # the reference discards its mean-pool and maps logits over the
+            # unpooled region fmap (region_vit_flax.py:254-256): 4-D output
+            x = nn.LayerNorm(epsilon=1e-5, use_bias=False, dtype=self.dtype, name="head_norm")(region_tokens)
+            return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 
         x = jnp.mean(region_tokens, axis=(1, 2))
         x = nn.LayerNorm(epsilon=1e-5, use_bias=False, dtype=self.dtype, name="head_norm")(x)

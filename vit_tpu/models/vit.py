@@ -47,9 +47,11 @@ class ViT(nn.Module):
         assert self.pool in {"cls", "mean"}
         num_patches = (ih // ph) * (iw // pw)
 
-        x = PatchEmbed(self.dim, ph, dtype=self.dtype, name="patch_embed")(img)
-        if self.residual_dtype is not None:
-            x = x.astype(self.residual_dtype)
+        x = PatchEmbed(
+            self.dim, ph, dtype=self.dtype,
+            out_dtype=self.residual_dtype or self.dtype,
+            name="patch_embed",
+        )(img)
         b = x.shape[0]
 
         cls = self.param(

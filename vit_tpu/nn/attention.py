@@ -24,10 +24,15 @@ from vit_tpu.ops.flash_attention import MASK_VALUE
 
 
 def _layer_norm_f32(x, scale, bias, eps=1e-6):
+    # flax.linen.LayerNorm's exact op sequence (fast variance, scale folded
+    # into the rsqrt multiplier) so rounding aligns with the reference.
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
+    )
+    mul = jax.lax.rsqrt(var + eps) * scale
+    return (x - mean) * mul + bias
 
 
 def split_heads(x: jax.Array, heads: int) -> jax.Array:
@@ -169,20 +174,28 @@ class Attention(nn.Module):
                 and self.dim * inner * 3 * 2 <= 8 * 1024 * 1024  # resident weights
             )
             if fully_fusable:
+                # out_bias stays fp32: the reference adds Dense biases on the
+                # fp32 accumulator; pre-casting it to bf16 was a systematic
+                # per-layer offset (round-2 numerics study).
                 return ops.attention_block(
                     x,
                     norm_scale,
                     norm_bias,
                     qkv_kernel.astype(dtype),
                     out_kernel.astype(dtype),
-                    out_bias.astype(dtype),
+                    out_bias,
                     self.heads,
                     scale=scale,
                     ln_eps=self.norm_eps,
                 )
 
             xn = _layer_norm_f32(x, norm_scale, norm_bias, self.norm_eps).astype(dtype)
-            qkv = xn @ qkv_kernel.astype(dtype)
+            # fp32 accumulation, rounded once — identical rounding profile to
+            # the reference's fp32 Dense followed by operand rounding at the
+            # next matmul (bf16-accumulated `xn @ w` double-rounds).
+            qkv = jnp.matmul(
+                xn, qkv_kernel.astype(dtype), preferred_element_type=jnp.float32
+            ).astype(dtype)
             if not needs_materialized and not self.mask_self:
                 out = ops.qkv_attention(qkv, self.heads, bias=bias, scale=scale)
             else:
@@ -197,7 +210,12 @@ class Attention(nn.Module):
                 )
                 out = merge_heads(out)
             if project_out:
-                out = out @ out_kernel.astype(dtype) + out_bias.astype(dtype)
+                # fp32 accumulation + fp32 bias add (reference Dense
+                # semantics), rounded once to the stream dtype.
+                out = jnp.matmul(
+                    out, out_kernel.astype(dtype), preferred_element_type=jnp.float32
+                )
+                out = (out + out_bias).astype(residual.dtype)
                 out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
             return out + residual if self.fuse_residual else out
 

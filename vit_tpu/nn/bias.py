@@ -68,6 +68,43 @@ class WindowRelPosBias(nn.Module):
         return bias[None]
 
 
+class ReferenceWindowRelPosBias(nn.Module):
+    """RegionViT rel-pos bias exactly as the reference executes on TPU
+    (region_vit_flax.py:121-149 + TPU gather semantics).
+
+    The reference builds its (2*window_size-1)^2-entry table from the
+    DECLARED window size but indexes it with offsets from the ACTUAL
+    local/region ratio grid (4x larger at the default config, because the
+    regional tokens are space-to-depthed from the already-downsampled local
+    fmap, region_vit_flax.py:243-245). The resulting indices run far out of
+    table range; TPU XLA gathers clamp out-of-bounds indices (CPU jax fills
+    NaN), so the executed model reads edge entries for all far offsets.
+    Reproduced here with an explicit clip so the behavior is
+    platform-independent. Returns ``[1, heads, N+1, N+1]`` (zero row/col
+    padded for the region token).
+    """
+
+    heads: int
+    declared_window_size: int  # table geometry + the reference's index stride
+    window_h: int              # actual ratio grid (lh // rh)
+    window_w: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        w = self.declared_window_size
+        span = 2 * w - 1
+        table = nn.Embed(span * span, self.heads, name="rel_pos_bias")
+        gx, gy = np.meshgrid(
+            np.arange(self.window_h), np.arange(self.window_w), indexing="ij"
+        )
+        grid = np.stack([gx.flatten(), gy.flatten()])  # [2, N]
+        rel = (grid[:, :, None] - grid[:, None, :]) + (w - 1)  # [2, N, N]
+        idx = rel[0] * 1 + rel[1] * span  # reference's stride vector [1, 2w-1]
+        idx = np.clip(idx, 0, span * span - 1)  # TPU clamped-gather semantics
+        bias = table(jnp.asarray(idx)).transpose(2, 0, 1)[None]  # [1, h, N, N]
+        return jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
+
+
 class DynamicPositionBias(nn.Module):
     """CrossFormer DPB: a small MLP over continuous relative coordinates —
     resolution-independent by construction (crossformer.py:44-60).

@@ -71,30 +71,34 @@ class FeedForward(nn.Module):
         dtype = self.dtype or x.dtype
         cast = lambda p: None if p is None else p.astype(dtype)
 
+        # Only the GEMM operands (weights) are cast to the MXU dtype; biases
+        # and norm parameters stay fp32 — the reference adds them on the
+        # fp32 accumulator, and pre-casting them to bf16 was a systematic
+        # per-layer offset (round-2 numerics study).
         if self.dropout > 0.0 and not deterministic:
             # Training path: dropout between the activations (XLA).
             h = x
             if self.pre_norm:
-                h = _layer_norm(h, cast(ln_scale), cast(ln_bias), self.ln_eps)
-            h = h @ cast(w1)
+                h = _layer_norm(h, ln_scale, ln_bias, self.ln_eps)
+            h = jnp.matmul(h.astype(dtype), cast(w1), preferred_element_type=jnp.float32)
             if b1 is not None:
-                h = h + cast(b1)
+                h = h + b1
             h = _activate(h, self.activation)
             h = nn.Dropout(self.dropout, name="drop1")(h, deterministic=False)
-            h = h @ cast(w2)
+            h = jnp.matmul(h.astype(dtype), cast(w2), preferred_element_type=jnp.float32)
             if b2 is not None:
-                h = h + cast(b2)
+                h = h + b2
             h = nn.Dropout(self.dropout, name="drop2")(h, deterministic=False)
-            return h
+            return h.astype(x.dtype)
 
         out = ops.mlp(
             x,
             cast(w1),
-            cast(b1),
+            b1,
             cast(w2),
-            cast(b2),
-            cast(ln_scale),
-            cast(ln_bias),
+            b2,
+            ln_scale,
+            ln_bias,
             activation=self.activation,
             residual=False,
             ln_eps=self.ln_eps,
@@ -111,10 +115,15 @@ def _activate(h, activation):
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
+    # flax.linen.LayerNorm's exact op sequence (fast variance, fp32 stats,
+    # scale folded into the rsqrt multiplier).
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
+    )
+    mul = jax.lax.rsqrt(var + eps) * scale
+    y = (x - mean) * mul
     if bias is not None:
         y = y + bias
     return y

@@ -20,6 +20,7 @@ class PatchEmbed(nn.Module):
     patch_size: int
     norm: bool = False  # SimpleViT applies LN before/after projection
     dtype: Optional[jnp.dtype] = None
+    out_dtype: Optional[jnp.dtype] = None  # stream dtype; None = ``dtype``
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -27,10 +28,16 @@ class PatchEmbed(nn.Module):
         x = ops.patchify(x, p)
         if self.norm:
             x = nn.LayerNorm(dtype=self.dtype, name="norm_in")(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
+        # fp32 accumulation + fp32 bias add, rounded once at the end:
+        # matches the reference's fp32 Dense (whose operands the TPU rounds
+        # to bf16 inside the dot anyway). <1% of forward FLOPs, so the fp32
+        # epilogue costs nothing; rounding the accumulator+bias to bf16 here
+        # was a divergence seed amplified through every encoder layer.
+        x = nn.Dense(self.dim, dtype=jnp.float32, name="proj")(x)
         if self.norm:
             x = nn.LayerNorm(dtype=self.dtype, name="norm_out")(x)
-        return x
+        out_dtype = self.out_dtype or self.dtype
+        return x.astype(out_dtype) if out_dtype is not None else x
 
 
 class SPT(nn.Module):

@@ -30,9 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _ln_f32(x, scale, bias, eps=1e-6):
+    # Matches flax.linen.LayerNorm exactly (use_fast_variance=True, scale
+    # folded into the rsqrt multiplier): the reference zoo normalizes with
+    # flax LayerNorm, and reproducing its op sequence keeps the bf16
+    # rounding decisions downstream bit-aligned with the jitted reference.
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
+    )
+    mul = jax.lax.rsqrt(var + eps) * scale
+    return (x - mean) * mul + bias
 
 
 def _kernel(
@@ -84,10 +91,12 @@ def _kernel(
                 preferred_element_type=jnp.float32, precision=precision,
             )
             s *= scale
+            # jax.nn.softmax's exact op sequence (division, not
+            # reciprocal-multiply) — see _ln_f32 note on rounding alignment.
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
-            p = p * pl.reciprocal(l, approx=False)
+            p = p / l
             head_parts.append(
                 jax.lax.dot(
                     p.astype(v.dtype), v,

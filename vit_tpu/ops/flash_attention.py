@@ -93,10 +93,12 @@ def _attn_kernel(
     s = jnp.where(mask, s, MASK_VALUE)
 
     # Numerically-stable fused softmax in fp32 (never leaves VMEM).
+    # Division (not reciprocal-multiply) matches jax.nn.softmax's op
+    # sequence so rounding decisions stay aligned with the XLA reference.
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p * pl.reciprocal(l, approx=False)
+    p = p / l
 
     v = v_ref[0]
     o = jax.lax.dot(

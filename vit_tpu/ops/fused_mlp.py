@@ -29,10 +29,15 @@ _LANES = 128
 
 
 def _layer_norm_f32(x, scale, bias, eps=1e-6):
+    # flax.linen.LayerNorm's exact op sequence (fast variance, scale folded
+    # into the rsqrt multiplier) — keeps bf16 rounding decisions downstream
+    # aligned with the jitted reference.
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * scale + bias
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
+    )
+    mul = jax.lax.rsqrt(var + eps) * scale
+    return (x - mean) * mul + bias
 
 
 def _activate(h, activation: str):

@@ -58,10 +58,12 @@ def _kernel(
         s *= scale
         if has_bias:
             s += bias_ref[0, h if bias_per_head else 0].astype(jnp.float32)
+        # Division matches jax.nn.softmax's op sequence (rounding alignment
+        # with the XLA reference).
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p * pl.reciprocal(l, approx=False)
+        p = p / l
         o_ref[0, :, h * d : (h + 1) * d] = jax.lax.dot(
             p.astype(v.dtype), v,
             preferred_element_type=jnp.float32, precision=precision,

@@ -1150,3 +1150,83 @@ def import_reference_vit_params(
             },
         }
     }
+
+
+def import_reference_region_vit_params(
+    ref_params: Dict[str, Any], depths=(2, 2, 8, 2)
+) -> Dict[str, Any]:
+    """Map a reference ``region_vit_flax.py`` tree onto
+    ``vit_tpu.models.RegionViT(reference_quirks=True)``.
+
+    Reference layout: Conv_0 = local 8x8/s4 encoder, Conv_1 = region 1x1
+    projection (input is the channel-major space-to-depth of the local
+    fmap, region_vit_flax.py:243-247), Downsample_{s-1} = the SHARED
+    per-stage downsample (:250), R2LTransformer_{s} = {Embed_0 rel-pos
+    table, Attention_i {LayerNorm_0 (no bias), Dense_0 qkv, Dense_1 out},
+    MLP_i {LayerNorm_0 (no bias), Dense_0, Dense_1}}, LayerNorm_0 +
+    Dense_0 = the to_logits head. Our LayerNorms carry a bias parameter;
+    the reference's are bias-free, so those import as zeros (identical
+    math).
+    """
+    import jax
+
+    p = ref_params["params"] if "params" in ref_params else ref_params
+    rk = p["Conv_1"]["kernel"]  # (1, 1, C*p^2, D)
+    out: Dict[str, Any] = {
+        "local_conv": {
+            "kernel": p["Conv_0"]["kernel"],
+            "bias": p["Conv_0"]["bias"],
+        },
+        "region_proj": {
+            "kernel": rk.reshape(rk.shape[2], rk.shape[3]),
+            "bias": p["Conv_1"]["bias"],
+        },
+        "head_norm": {"scale": p["LayerNorm_0"]["scale"]},
+        "head": {
+            "kernel": p["Dense_0"]["kernel"],
+            "bias": p["Dense_0"]["bias"],
+        },
+    }
+
+    for s, depth in enumerate(depths):
+        if s > 0:
+            ds = p[f"Downsample_{s - 1}"]["Conv_0"]
+            out[f"down_{s}"] = {
+                "conv": {"kernel": ds["kernel"], "bias": ds["bias"]}
+            }
+        tr = p[f"R2LTransformer_{s}"]
+        dim = tr["Attention_0"]["Dense_0"]["kernel"].shape[0]
+        hidden = tr["MLP_0"]["Dense_0"]["kernel"].shape[1]
+
+        def block(i, tr=tr, dim=dim, hidden=hidden):
+            at, ml = tr[f"Attention_{i}"], tr[f"MLP_{i}"]
+            return {
+                "attn": {
+                    "norm_scale": at["LayerNorm_0"]["scale"],
+                    "norm_bias": jnp.zeros((dim,), jnp.float32),
+                    "qkv_kernel": at["Dense_0"]["kernel"],
+                    "out_kernel": at["Dense_1"]["kernel"],
+                    "out_bias": at["Dense_1"]["bias"],
+                },
+                "ff": {
+                    "ln_scale": ml["LayerNorm_0"]["scale"],
+                    "ln_bias": jnp.zeros((dim,), jnp.float32),
+                    "w1": ml["Dense_0"]["kernel"],
+                    "b1": ml["Dense_0"]["bias"],
+                    "w2": ml["Dense_1"]["kernel"],
+                    "b2": ml["Dense_1"]["bias"],
+                },
+            }
+
+        blocks = [block(i) for i in range(depth)]
+        stage: Dict[str, Any] = {
+            "rel_pos_bias": {
+                "rel_pos_bias": {"embedding": tr["Embed_0"]["embedding"]}
+            }
+        }
+        if depth > 1:  # scanned stage
+            stage["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        else:
+            stage["blocks"] = blocks[0]
+        out[f"stage_{s}"] = stage
+    return {"params": out}
