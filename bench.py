@@ -29,12 +29,16 @@ ITERS = 20
 
 
 def timed_throughput(fn, *args, iters=ITERS, batch=BATCH):
-    fn(*args).block_until_ready()  # compile + warm
-    fn(*args).block_until_ready()
+    # Sync by pulling the LAST output to host: device execution is
+    # serialized, so one device_get fences the whole queue. (On this
+    # environment's tunneled backend, block_until_ready can return before
+    # execution finishes — it under-reports fast models by >10x.)
+    np.asarray(fn(*args))  # compile + warm
+    np.asarray(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    out.block_until_ready()
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt
 

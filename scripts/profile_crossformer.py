@@ -25,13 +25,16 @@ DTYPE = jnp.bfloat16
 
 
 def bench(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    jax.block_until_ready(fn(*args))
+    import numpy as np
+
+    # sync via host pull of the last output — block_until_ready is
+    # unreliable on this environment's tunneled backend (see bench.py)
+    np.asarray(fn(*args))
+    np.asarray(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 

@@ -306,3 +306,57 @@ class TestWindowOps:
         out = block_partition(x, 2)
         assert out.shape == (8, 4, 4, 3)
         np.testing.assert_array_equal(np.asarray(block_unpartition(out, 2)), np.asarray(x))
+
+
+class TestWindowAttentionBlock:
+    def _args(self, nw=6, s=49, c=64, heads=2, d=32):
+        xw = rand(0, (nw, s, c))
+        ln_s, ln_b = rand(1, (c,)), rand(2, (c,))
+        wqkv = rand(3, (c, 3 * heads * d)) * 0.1
+        wout = rand(4, (heads * d, c)) * 0.1
+        bout = rand(5, (c,)) * 0.1
+        bias = rand(6, (heads, s, s)) * 0.5
+        return xw, ln_s, ln_b, wqkv, wout, bout, bias, heads
+
+    def test_matches_xla(self):
+        from vit_tpu.ops.window_attention import (
+            fused_window_attention_block, xla_window_attention_block)
+
+        xw, ln_s, ln_b, wqkv, wout, bout, bias, heads = self._args()
+        out = fused_window_attention_block(
+            xw, ln_s, ln_b, wqkv, wout, bout, heads, bias, interpret=True)
+        ref = xla_window_attention_block(
+            xw, ln_s, ln_b, wqkv, wout, bout, heads, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+    def test_no_bias_shared_bias_and_ragged_group(self):
+        from vit_tpu.ops.window_attention import (
+            fused_window_attention_block, xla_window_attention_block)
+
+        # nw=5 windows: group packing must handle non-divisible counts
+        xw, ln_s, ln_b, wqkv, wout, bout, bias, heads = self._args(nw=5, s=16, c=32, d=16)
+        out = fused_window_attention_block(
+            xw, ln_s, ln_b, wqkv, wout, bout, heads, None, interpret=True)
+        ref = xla_window_attention_block(
+            xw, ln_s, ln_b, wqkv, wout, bout, heads, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+        shared = bias[:1]  # (1, S, S) — one tile for all heads (quirks DPB)
+        out = fused_window_attention_block(
+            xw, ln_s, ln_b, wqkv, wout, bout, heads, shared, interpret=True)
+        ref = xla_window_attention_block(
+            xw, ln_s, ln_b, wqkv, wout, bout, heads, shared)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+    def test_grads_match_xla(self):
+        from vit_tpu.ops.window_attention import (
+            fused_window_attention_block, xla_window_attention_block)
+
+        xw, ln_s, ln_b, wqkv, wout, bout, bias, heads = self._args(nw=2, s=9, c=16, d=8)
+        args = (xw, ln_s, ln_b, wqkv, wout, bout, bias)
+        g1 = jax.grad(lambda *a: jnp.sum(fused_window_attention_block(
+            *a[:6], heads, a[6], interpret=True) ** 2), argnums=tuple(range(7)))(*args)
+        g2 = jax.grad(lambda *a: jnp.sum(xla_window_attention_block(
+            *a[:6], heads, a[6]) ** 2), argnums=tuple(range(7)))(*args)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)

@@ -49,25 +49,41 @@ class _LSDAttention(nn.Module):
         inner = heads * self.dim_head
         b, h, w, _ = x.shape
         wsz = self.window_size
+        dtype = self.dtype or x.dtype
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-
-        if self.attn_type == "short":
-            qkv = ops.window_partition(qkv, wsz)
-        else:
-            qkv = ops.dilated_partition(qkv, wsz)
+        # raw parameters so the whole block — LN, qkv projection, window
+        # partition, block-diagonal attention + DPB bias, out projection —
+        # lowers to the single fused multi-window kernel
+        norm_scale = self.param("norm_scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        norm_bias = self.param("norm_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        wqkv = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (self.dim, inner * 3), jnp.float32
+        )
+        wout = self.param(
+            "out_kernel", nn.initializers.lecun_normal(), (inner, self.dim), jnp.float32
+        )
+        bout = self.param("out_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
 
         bias = DynamicPositionBias(
             self.dim // 4, heads, reference_quirks=self.reference_quirks, name="dpb"
-        )(wsz)
-        out = ops.qkv_attention(qkv, heads, bias=bias.astype(jnp.float32))
+        )(wsz)  # (1, 1|H, S, S)
+
+        if self.attn_type == "short":
+            xw = ops.window_partition(x, wsz)
+        else:
+            xw = ops.dilated_partition(x, wsz)
+
+        out = ops.window_attention_block(
+            xw, norm_scale, norm_bias,
+            wqkv.astype(dtype), wout.astype(dtype), bout,
+            heads, bias=bias.astype(jnp.float32),
+            scale=self.dim_head**-0.5, ln_eps=1e-5,
+        )
 
         if self.attn_type == "short":
             out = ops.window_unpartition(out, wsz, h, w)
         else:
             out = ops.dilated_unpartition(out, wsz, h, w)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
 
 

@@ -18,6 +18,10 @@ import jax
 
 from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
 from vit_tpu.ops.flash_attention import flash_attention, reference_attention
+from vit_tpu.ops.window_attention import (
+    fused_window_attention_block,
+    xla_window_attention_block,
+)
 from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
 from vit_tpu.ops.qkv_attention import fused_qkv_attention
 from vit_tpu.ops.patch_embed import (  # noqa: F401
@@ -132,6 +136,33 @@ def attention_block(
         )
     return fused_attention_block(
         x, ln_scale, ln_bias, wqkv, wout, bout, heads,
+        scale=scale, ln_eps=ln_eps, interpret=(mode == "interpret"),
+    )
+
+
+def window_attention_block(
+    xw, ln_scale, ln_bias, wqkv, wout, bout, heads: int, bias=None,
+    *, scale=None, ln_eps: float = 1e-5,
+):
+    """Dispatching fused multi-window attention block over windowed tokens
+    ``[NW, S, C]`` — LN -> qkv -> block-diagonal attention (+bias) -> out
+    projection, one kernel (the small-window answer the _MIN_PALLAS_SEQ
+    heuristic routes around for the per-window kernels).
+
+    Windows below 32 tokens (e.g. CrossFormer's deep-stage 2x2/1x1 dilated
+    LDA windows) stay on the XLA path even in auto mode: padding them to
+    the 16-row Mosaic tile wastes up to (16/S)^2 of the score/softmax work,
+    measured slower than XLA's batched einsum."""
+    mode, auto = _resolved_mode()
+    if mode == "xla" or (auto and mode == "pallas" and xw.shape[1] < 32):
+        if scale is None:
+            scale = (wqkv.shape[1] // 3 // heads) ** -0.5
+        return xla_window_attention_block(
+            xw, ln_scale, ln_bias, wqkv, wout, bout, heads, bias,
+            scale=scale, ln_eps=ln_eps,
+        )
+    return fused_window_attention_block(
+        xw, ln_scale, ln_bias, wqkv, wout, bout, heads, bias,
         scale=scale, ln_eps=ln_eps, interpret=(mode == "interpret"),
     )
 

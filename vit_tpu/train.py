@@ -116,3 +116,74 @@ def make_train_step(model, optimizer=None, *, dropout_seed: int = 0) -> Callable
 
 def shard_batch(batch: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))
+
+
+def make_shard_map_train_step(
+    model, mesh: Mesh, optimizer=None, *, dropout_seed: int = 0
+) -> Callable:
+    """Data-parallel train step that keeps the Pallas kernels ON.
+
+    The GSPMD step above forces the XLA op path because Pallas custom-calls
+    carry no partitioning rules; here the parallelism is expressed with
+    ``shard_map`` instead, so each device traces a complete per-device
+    program — fused kernels, custom-VJP backwards and all — and the only
+    collectives are the explicit gradient/loss ``pmean`` over the data axis
+    (plus a ``pmean`` of mutable model state, e.g. cross-replica BatchNorm
+    statistics). Parameters and optimizer state are replicated; use the
+    GSPMD step when tensor parallelism is needed.
+
+    Returns ``step(state, images, labels) -> (state, loss)``; place the
+    batch with ``shard_batch``.
+    """
+    optimizer = optimizer or make_optimizer()
+
+    def per_device(state: TrainState, images: jax.Array, labels: jax.Array):
+        has_state = bool(jax.tree_util.tree_leaves(state.model_state))
+
+        def loss_fn(params):
+            # independent dropout per data shard
+            rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step),
+                jax.lax.axis_index(DATA_AXIS),
+            )
+            rngs = {"dropout": rng}
+            if has_state:
+                logits, new_state = model.apply(
+                    {"params": params, **state.model_state},
+                    images, True,
+                    mutable=list(state.model_state.keys()),
+                    rngs=rngs,
+                )
+            else:
+                logits = model.apply({"params": params}, images, True, rngs=rngs)
+                new_state = state.model_state
+            if isinstance(logits, tuple):  # LeViT distillation head
+                logits = logits[0]
+            return cross_entropy_loss(logits, labels), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        # cross-replica sync of mutable state (BatchNorm running stats)
+        new_state = jax.tree.map(
+            lambda x: jax.lax.pmean(x, DATA_AXIS)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            new_state,
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, new_state), loss
+
+    from jax import shard_map
+
+    rep = P()
+    step = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(rep, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -828,13 +828,14 @@ def import_reference_crossformer_params(
         return d
 
     def attn(src):
+        to_qkv = _conv1x1_to_dense(src["Conv_0"])
+        to_out = _conv1x1_to_dense(src["Conv_1"])
         return {
-            "norm": {
-                "scale": src["LayerNorm_0"]["g"].reshape(-1),
-                "bias": src["LayerNorm_0"]["b"].reshape(-1),
-            },
-            "to_qkv": _conv1x1_to_dense(src["Conv_0"]),
-            "to_out": _conv1x1_to_dense(src["Conv_1"]),
+            "norm_scale": src["LayerNorm_0"]["g"].reshape(-1),
+            "norm_bias": src["LayerNorm_0"]["b"].reshape(-1),
+            "qkv_kernel": to_qkv["kernel"],
+            "out_kernel": to_out["kernel"],
+            "out_bias": to_out["bias"],
             "dpb": dpb(src["DynamicPositionBias_0"]),
         }
 
