@@ -123,3 +123,66 @@ def test_registry_covers_all_17_families():
     from vit_tpu.models import MODEL_REGISTRY
 
     assert len(MODEL_REGISTRY) == 17
+
+
+import pytest
+
+
+class TestJpegDecode:
+    def _jpegs(self, n=4, sizes=((300, 400), (256, 256), (64, 100), (500, 333))):
+        from PIL import Image
+        import io as _io
+
+        rng = np.random.default_rng(0)
+        jpegs, arrays = [], []
+        for i in range(n):
+            h, w = sizes[i % len(sizes)]
+            arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+            jpegs.append(buf.getvalue())
+            arrays.append(arr)
+        return jpegs, arrays
+
+    def test_native_decode_matches_pil(self):
+        """The native libjpeg decode must match PIL's (same libjpeg) and the
+        resize must match the numpy mirror of the kernel's math."""
+        from vit_tpu.data import JpegDecoder, _resize_bilinear_u8
+        from PIL import Image
+        import io as _io
+
+        dec = JpegDecoder(size=224)
+        if dec.backend != "native":
+            pytest.skip("native decoder not built (no toolchain)")
+        jpegs, _ = self._jpegs()
+        out = dec(jpegs)
+        assert out.shape == (4, 224, 224, 3) and out.dtype == np.uint8
+        for i, raw in enumerate(jpegs):
+            pil = np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"))
+            ref = _resize_bilinear_u8(pil, 224)
+            # decode is the same libjpeg; resize is the same formula in
+            # fp32 — allow 1 ulp of uint8 rounding skew
+            diff = np.abs(out[i].astype(int) - ref.astype(int))
+            assert diff.max() <= 1, diff.max()
+
+    def test_corrupt_jpeg_reported(self):
+        from vit_tpu.data import JpegDecoder
+
+        dec = JpegDecoder(size=64)
+        if dec.backend != "native":
+            pytest.skip("native decoder not built")
+        jpegs, _ = self._jpegs(n=2)
+        with pytest.raises(ValueError, match="corrupt"):
+            dec([jpegs[0], b"not a jpeg at all"])
+
+    def test_jpeg_to_logits_end_to_end(self):
+        """The north-star data path: JPEG bytes -> host decode -> device
+        resize/crop/normalize fused with the model -> logits."""
+        from vit_tpu.data import JpegDecoder, classify_jpegs
+
+        jpegs, _ = self._jpegs(n=3)
+        pipe = InferencePipeline(MODEL, _variables(), image_size=32, batch_size=4,
+                                 dtype=jnp.float32)
+        logits = classify_jpegs(pipe, jpegs, decoder=JpegDecoder(size=48))
+        assert logits.shape == (3, 10)
+        assert np.isfinite(logits).all()

@@ -1,0 +1,139 @@
+"""Host data loading: the JPEG decode front-end of the serving pipeline.
+
+The reference has no data path at all (SURVEY.md §5); here raw JPEG bytes
+become a fixed-size uint8 RGB batch on the host — via the native
+multithreaded libjpeg decoder (native/jpeg_decoder.cpp, ctypes-bound,
+GIL-free so decode overlaps device compute) — and everything downstream
+(final resize, crop, normalize, patchify) runs inside the model's XLA
+program (vit_tpu/pipeline.py). The native library is built on demand
+(``make -C native``); a PIL fallback keeps the API available without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import io
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvitjpeg.so")
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_LIB_PATH):
+        try:  # build on demand; quiet failure -> PIL fallback
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:  # noqa: BLE001 — no toolchain / no libjpeg
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.vt_decode_jpeg_batch.restype = ctypes.c_int
+    lib.vt_decode_jpeg_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.POINTER(ctypes.c_int64),   # offsets [n+1]
+        ctypes.c_int,                     # n
+        ctypes.c_int,                     # out_size
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.POINTER(ctypes.c_int64),   # status [n]
+        ctypes.c_int,                     # n_threads
+    ]
+    return lib
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _native_lib():
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB = _load_native()
+        _LIB_TRIED = True
+    return _LIB
+
+
+class JpegDecoder:
+    """Batch JPEG -> uint8 RGB ``[N, size, size, 3]`` with host bilinear
+    resize (half-pixel centers). Native multithreaded decode when the
+    library is available; PIL otherwise (``.backend`` says which)."""
+
+    def __init__(self, size: int = 256, threads: Optional[int] = None):
+        self.size = size
+        self.threads = threads or min(32, os.cpu_count() or 8)
+        self._lib = _native_lib()
+        self.backend = "native" if self._lib is not None else "pil"
+
+    def __call__(self, jpegs: Sequence[bytes]) -> np.ndarray:
+        if self._lib is not None:
+            return self._decode_native(jpegs)
+        return self._decode_pil(jpegs)
+
+    def _decode_native(self, jpegs: Sequence[bytes]) -> np.ndarray:
+        n = len(jpegs)
+        data = np.frombuffer(b"".join(jpegs), np.uint8)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(j) for j in jpegs], out=offsets[1:])
+        out = np.empty((n, self.size, self.size, 3), np.uint8)
+        status = np.zeros(n, np.int64)
+        failures = self._lib.vt_decode_jpeg_batch(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, self.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.threads,
+        )
+        if failures:
+            bad = np.nonzero(status)[0].tolist()
+            raise ValueError(f"{failures} corrupt JPEG(s) at indices {bad[:8]}")
+        return out
+
+    def _decode_pil(self, jpegs: Sequence[bytes]) -> np.ndarray:
+        from PIL import Image
+
+        out = np.empty((len(jpegs), self.size, self.size, 3), np.uint8)
+        for i, raw in enumerate(jpegs):
+            img = Image.open(io.BytesIO(raw)).convert("RGB")
+            arr = np.asarray(img)
+            out[i] = _resize_bilinear_u8(arr, self.size)
+        return out
+
+
+def _resize_bilinear_u8(arr: np.ndarray, size: int) -> np.ndarray:
+    """Numpy mirror of the native resize (half-pixel centers) — keeps the
+    PIL fallback numerically aligned with the native path."""
+    h, w, _ = arr.shape
+    if h == size and w == size:
+        return arr
+    fy = np.clip((np.arange(size) + 0.5) * (h / size) - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(size) + 0.5) * (w / size) - 0.5, 0, w - 1)
+    y0 = fy.astype(np.int32)
+    x0 = fx.astype(np.int32)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    a = arr.astype(np.float32)
+    top = a[y0][:, x0] + (a[y0][:, x1] - a[y0][:, x0]) * wx
+    bot = a[y1][:, x0] + (a[y1][:, x1] - a[y1][:, x0]) * wx
+    return (top + (bot - top) * wy + 0.5).astype(np.uint8)
+
+
+def classify_jpegs(pipeline, jpegs: List[bytes], *, decoder: Optional[JpegDecoder] = None):
+    """End-to-end: JPEG bytes -> logits through an ``InferencePipeline``.
+
+    Host: native multithreaded decode to a fixed ``[N, S, S, 3]`` uint8
+    batch. Device: resize/crop/normalize fused into the model program.
+    """
+    decoder = decoder or JpegDecoder()
+    return pipeline(decoder(jpegs))
