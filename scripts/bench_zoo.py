@@ -34,7 +34,8 @@ sys.path.insert(0, "/root/reference/vit_flax")
 
 from vit_tpu import ops  # noqa: E402
 
-BATCH = 32
+BATCH = 128  # throughput regime — the tiny __main__ configs are dispatch-
+# bound at small batch (65-token ViT @ batch 32 is 2k tokens/batch)
 ITERS = 10
 DTYPE = jnp.bfloat16
 RNGS = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2),
@@ -61,7 +62,7 @@ class _TFShim:
     image = _TFImageShim()
 
 
-def timed(fn, *args, iters=ITERS):
+def timed(fn, *args, iters=ITERS, batch=None):
     np.asarray(fn(*args))  # compile + warm
     np.asarray(fn(*args))
     t0 = time.perf_counter()
@@ -69,7 +70,7 @@ def timed(fn, *args, iters=ITERS):
         out = fn(*args)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    return BATCH / dt
+    return (batch or BATCH) / dt
 
 
 def bench_family(name, ref_fn, ours_fn):
@@ -94,6 +95,7 @@ def bench_family(name, ref_fn, ours_fn):
 
 
 def make_ref_runner(module_name, cls_name, cfg, img, *, mutable=(), shims=()):
+    batch = img.shape[0]
     def run():
         if "split" in shims:
             _patch_array_split()
@@ -110,12 +112,13 @@ def make_ref_runner(module_name, cls_name, cfg, img, *, mutable=(), shims=()):
         if isinstance(out, tuple):
             fn0 = fn
             fn = jax.jit(lambda p, x: fn0(p, x)[0])
-        return timed(fn, params, img)
+        return timed(fn, params, img, batch=batch)
 
     return run
 
 
 def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False):
+    batch = img.shape[0]
     def run():
         model = cls(**cfg, dtype=DTYPE)
         params = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(1)}, img[:1]))()
@@ -126,7 +129,7 @@ def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False):
         if tuple_out:
             fn0 = fn
             fn = jax.jit(lambda p, x: fn0(p, x)[0])
-        return timed(fn, params, img)
+        return timed(fn, params, img, batch=batch)
 
     return run
 
@@ -254,12 +257,13 @@ def main():
                          dict(num_classes=1000, dim=64, heads=(2, 4, 8, 16), depth=(2, 2, 20, 2),
                               ssa_dim_key=(40, 40, 40, 32), reduction_factor=(8, 4, 2, 1),
                               window_size=(64, 32, None, None), dropout=0.0),
-                         img(256)),
+                         # fp32 reference OOMs HBM at batch 128 (16.34G > 15.75G)
+                         img(256, batch=64)),
          make_ours_runner(M.ScalableViT,
                           dict(num_classes=1000, dim=64, heads=(2, 4, 8, 16), depth=(2, 2, 20, 2),
                                ssa_dim_key=(40, 40, 40, 32), reduction_factor=(8, 4, 2, 1),
                                window_size=(64, 32, None, None)),
-                          img(256))),
+                          img(256, batch=64))),
         ("region_vit",
          make_ref_runner("region_vit_flax", "RegionViT",
                          dict(dim=(64, 128, 256, 512), depth=(2, 2, 8, 2), window_size=7,

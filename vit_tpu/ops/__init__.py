@@ -175,7 +175,26 @@ def qkv_attention(qkv, heads: int, bias=None, *, scale: Optional[float] = None):
     """
     mode, auto = _resolved_mode()
     small_seq = auto and qkv.shape[1] < _MIN_PALLAS_SEQ
-    if mode == "interpret" or (mode == "pallas" and not small_seq):
+    # The zero-copy kernel holds one sample's full fused [q|k|v] row panel
+    # (plus a per-q-block bias panel) in VMEM, double-buffered across the
+    # grid. Long sequences x wide fused dims (T2T's tokenizer stages) or
+    # big per-head bias tables (RegionViT quirks joint windows) bust the
+    # ~16MB budget — estimate the scoped usage and route oversized shapes
+    # through the per-head flash kernel (small, blocked panels) instead.
+    b_, n_, f_ = qkv.shape
+    item = qkv.dtype.itemsize
+    bq_est = min(1024, max(128, (4 * 1024 * 1024 // (n_ * 4)) // 128 * 128), n_)
+    bias_blk = 0
+    if bias is not None:
+        bias_blk = bias.shape[1] * bq_est * n_ * 4
+    vmem_est = (
+        2 * (bq_est * f_ * item + n_ * f_ * item + bias_blk + bq_est * (f_ // 3) * item)
+        + bq_est * n_ * 4
+    )
+    if (
+        (mode == "interpret" or (mode == "pallas" and not small_seq))
+        and vmem_est <= 10 * 1024 * 1024
+    ):
         return fused_qkv_attention(
             qkv, heads, bias, scale=scale, interpret=(mode == "interpret")
         )
@@ -186,7 +205,7 @@ def qkv_attention(qkv, heads: int, bias=None, *, scale: Optional[float] = None):
     d = hd // heads
     q, k, v = jnp.split(qkv, 3, axis=-1)
     split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
-    out = reference_attention(split(q), split(k), split(v), bias, scale=scale)
+    out = attention(split(q), split(k), split(v), bias, scale=scale)
     return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
 
 

@@ -137,8 +137,14 @@ def _attention_block_impl(
         + n * n * 4                               # fp32 scores (per head, reused)
     )
     budget = 14 * 1024 * 1024 - weights_bytes
-    while bb < 8 and b % (bb * 2) == 0 and per_sample * (bb * 2) <= budget:
-        bb *= 2
+    # batch tiles > 1 collapse (bb, n, d) -> (bb*n, d) INSIDE the kernel,
+    # which Mosaic only supports when n is tile-aligned (unsupported shape
+    # cast otherwise — hit at CrossViT's 257-token branch); bb=1 is a
+    # unit-dim squeeze and always legal.
+    sublanes = 16 if x.dtype.itemsize < 4 else 8
+    if n % sublanes == 0:
+        while bb < 8 and b % (bb * 2) == 0 and per_sample * (bb * 2) <= budget:
+            bb *= 2
     override = os.environ.get("VIT_TPU_BLOCK_BB")
     if override:
         bb = int(override)
