@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from vit_tpu.core.utils import pair
 from vit_tpu.nn.attention import Attention
-from vit_tpu.nn.blocks import FeedForward
+from vit_tpu.nn.blocks import FeedForward, scan_unroll_for
 from vit_tpu.nn.embed import PatchEmbed
 
 
@@ -113,6 +113,7 @@ class _CaiTStage(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=nn.broadcast,
+                unroll=scan_unroll_for(self.depth),
             )(**cfg, name="blocks")
             x, _ = stacked(x, context, deterministic)
         else:

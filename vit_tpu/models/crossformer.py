@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from vit_tpu import ops
 from vit_tpu.core.utils import cast_tuple
 from vit_tpu.nn.bias import DynamicPositionBias
+from vit_tpu.nn.blocks import scan_unroll_for
 from vit_tpu.nn.conv import ConvMLP, CrossEmbedLayer
 
 
@@ -167,6 +168,7 @@ class CrossFormer(nn.Module):
                     split_rngs={"params": True, "dropout": True},
                     length=self.depth[s],
                     in_axes=nn.broadcast,
+                    unroll=scan_unroll_for(self.depth[s]),
                 )(**block_cfg, name=f"stage_{s}")
                 x, _ = stacked(x, det)
             else:

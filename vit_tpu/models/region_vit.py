@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from vit_tpu import ops
 from vit_tpu.nn.attention import Attention
 from vit_tpu.nn.bias import ReferenceWindowRelPosBias, WindowRelPosBias
-from vit_tpu.nn.blocks import FeedForward
+from vit_tpu.nn.blocks import FeedForward, scan_unroll_for
 from vit_tpu.nn.conv import Downsample, PEG
 
 
@@ -134,6 +134,7 @@ class _R2LStage(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=nn.broadcast,
+                unroll=scan_unroll_for(self.depth),
             )(**cfg, name="blocks")
             (local_tokens, region), _ = stacked((local_tokens, region), bias, deterministic)
         else:

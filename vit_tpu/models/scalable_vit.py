@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from vit_tpu import ops
 from vit_tpu.core.utils import cast_tuple
 from vit_tpu.nn.attention import mha_tokens
+from vit_tpu.nn.blocks import scan_unroll_for
 from vit_tpu.nn.conv import ConvMLP, Downsample, PEG
 
 
@@ -233,6 +234,7 @@ class ScalableViT(nn.Module):
                     split_rngs={"params": True, "dropout": True},
                     length=rest,
                     in_axes=nn.broadcast,
+                    unroll=scan_unroll_for(rest),
                 )(**cfg, name=f"stage_{s}")
                 x, _ = stacked(x, det)
             elif rest == 1:

