@@ -5,6 +5,11 @@ VERDICT r1 item 4: a single flagship number can hide regressions; this
 benches all 17 families. Timing syncs by pulling the last output to host
 (block_until_ready under-reports on this environment's tunneled backend).
 
+Conv-hybrid families (cvt/levit/twins_svt) run ours at fp32: measured
+faster than bf16 on TPU (depthwise/BN conv pipelines are conversion-
+bound, and fp32 GEMMs run one-pass bf16 on the MXU under default
+precision anyway — same MXU cost, fewer casts).
+
 Reference comparators need the same minimal shims as the parity tests:
 - Array.split method restore (simple_vit / parallel_vit / patch_merger
   crash at init on modern JAX, bug register #12)
@@ -117,10 +122,10 @@ def make_ref_runner(module_name, cls_name, cfg, img, *, mutable=(), shims=()):
     return run
 
 
-def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False):
+def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False, dtype="default"):
     batch = img.shape[0]
     def run():
-        model = cls(**cfg, dtype=DTYPE)
+        model = cls(**cfg, dtype=(DTYPE if dtype == "default" else dtype))
         params = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(1)}, img[:1]))()
         if mutable:
             fn = jax.jit(lambda p, x: model.apply(p, x, mutable=list(mutable))[0])
@@ -211,7 +216,7 @@ def main():
         ("cvt",
          make_ref_runner("cvt", "CvT", dict(num_classes=1000, dropout=0.0), img(256),
                          mutable=("batch_stats",)),
-         make_ours_runner(M.CvT, dict(num_classes=1000), img(256), mutable=("batch_stats",))),
+         make_ours_runner(M.CvT, dict(num_classes=1000), img(256), mutable=("batch_stats",), dtype=None)),
         ("levit",
          make_ref_runner("levit", "LeViT",
                          dict(image_size=224, num_classes=1000, stages=3, dim=(256, 384, 512),
@@ -220,7 +225,7 @@ def main():
          make_ours_runner(M.LeViT,
                           dict(image_size=224, num_classes=1000, stages=3, dim=(256, 384, 512),
                                depth=4, heads=(4, 6, 8), mlp_mult=2),
-                          img(224), mutable=("batch_stats",))),
+                          img(224), mutable=("batch_stats",), dtype=None)),
         ("nest",
          make_ref_runner("nest", "NesT",
                          dict(image_size=224, patch_size=4, dim=96, heads=3,
@@ -251,7 +256,7 @@ def main():
                           img(224))),
         ("twins_svt",
          make_ref_runner("twins_svt", "TwinsSVT", dict(num_classes=1000, dropout=0.0), img(224)),
-         make_ours_runner(M.TwinsSVT, dict(num_classes=1000), img(224))),
+         make_ours_runner(M.TwinsSVT, dict(num_classes=1000), img(224), dtype=None)),
         ("scalable_vit",
          make_ref_runner("scalable_vit", "ScalableViT",
                          dict(num_classes=1000, dim=64, heads=(2, 4, 8, 16), depth=(2, 2, 20, 2),

@@ -34,7 +34,7 @@ CASES = [
 ]
 
 
-def timed(fn, *args, iters=20):
+def timed(fn, *args, iters=10):
     np.asarray(fn(*args))
     np.asarray(fn(*args))
     t0 = time.perf_counter()
@@ -64,7 +64,8 @@ def main():
         win = "flash" if t_flash < t_xla else "xla"
         print(
             f"{name:12s} h={h:2d} nq={nq:5d} nk={nk:5d} d={d:3d} bias={has_bias} | "
-            f"flash {t_flash:8.2f}ms  xla {t_xla:8.2f}ms  -> {win}"
+            f"flash {t_flash:8.2f}ms  xla {t_xla:8.2f}ms  -> {win}",
+            flush=True,
         )
 
 

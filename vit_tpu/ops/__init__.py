@@ -95,12 +95,19 @@ def backend_mode() -> str:
     return _resolved_mode()[0]
 
 
-# Below this sequence length the per-(batch, head) Pallas kernels lose to
-# XLA's batched einsums: window attention at w=7..8 (49-64 tokens) means
-# thousands of tiny per-window programs whose launch/DMA overhead
-# dominates, while XLA folds all windows into one large batched matmul
-# (measured: CrossFormer 964 vs 1473 img/s before this threshold).
-# ViT-scale sequences (197+) stay on the kernels.
+# The per-(batch, head) flash kernel serializes its grid on the single
+# TPU core, so program-launch overhead dominates unless each (b, h)
+# program carries big blocked work. Measured (B=128 zoo shapes,
+# scripts/tune_attn_dispatch.py): XLA wins every short/asymmetric case —
+# levit 196/196 (3.0 vs 44ms), vit-l 197/197 (7.0 vs 41ms), cvt 4096/1024
+# (9.6 vs 46ms), gsa 3136/49 (6.8 vs 64ms) — while flash wins 3.5x only
+# when BOTH sides are long (t2t 3136/3136: 12.0 vs 42ms; XLA's 5GB fp32
+# score tensor becomes pure HBM traffic). Auto mode keys on that.
+_MIN_FLASH_SEQ = 2048
+
+# Legacy floor for the fused-qkv kernel (batch-axis grid): below this the
+# sequence fits XLA's fast einsum buckets and the kernel's q-tiling can't
+# help (window families at 49-64 tokens ride their own packed kernel).
 _MIN_PALLAS_SEQ = 128
 
 # The fused attention-block kernel rides the batch grid axis (one program
@@ -122,7 +129,8 @@ def attention(
 ):
     """Dispatching multi-head attention: ``[B, H, N, D]`` in/out."""
     mode, auto = _resolved_mode()
-    if mode == "xla" or (auto and mode == "pallas" and k.shape[2] < _MIN_PALLAS_SEQ):
+    short = q.shape[2] < _MIN_FLASH_SEQ or k.shape[2] < _MIN_FLASH_SEQ
+    if mode == "xla" or (auto and mode == "pallas" and short):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     return flash_attention(
         q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
