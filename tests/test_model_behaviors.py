@@ -74,3 +74,26 @@ def test_pit_pools_tokens_and_doubles_dim():
     assert pool["cls_proj"]["kernel"].shape == (32, 64)
     out = model.apply(variables, img)
     assert out.shape == (1, 10)
+
+
+def test_scan_unroll_invariant():
+    """scan_unroll_for only changes loop emission (nn.scan unroll), never the
+    stacked parameter layout or the math — outputs and param trees must be
+    identical at unroll=1 (loop) and unroll=depth (straight-line)."""
+    import os
+
+    from vit_tpu.nn.blocks import Transformer
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 17, 32))
+    outs, shapes = [], []
+    for unroll in ("1", "6"):
+        os.environ["VIT_TPU_SCAN_UNROLL"] = unroll
+        try:
+            m = Transformer(dim=32, depth=6, heads=2, dim_head=16, mlp_dim=64)
+            p = m.init({"params": jax.random.PRNGKey(1)}, x)
+            outs.append(m.apply(p, x))
+            shapes.append(jax.tree.map(jnp.shape, p))
+        finally:
+            del os.environ["VIT_TPU_SCAN_UNROLL"]
+    assert shapes[0] == shapes[1]
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6, rtol=1e-6)

@@ -131,6 +131,24 @@ class TestFusedAttentionBlock:
         ref = xla_attention_block(x, ln_s, ln_b, wqkv, wout, bout, heads, d**-0.5)
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("n", [50, 64, 197])
+    def test_token_padding_path(self, n):
+        # The kernel pads unaligned token counts to the Mosaic sublane tile
+        # and masks padded key columns out of the softmax; real rows must be
+        # unaffected and the output shape preserved (block_attention.py).
+        from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
+
+        b, dim, heads, d = 3, 48, 3, 16
+        x = rand(0, (b, n, dim))
+        ln_s, ln_b = rand(1, (dim,)), rand(2, (dim,))
+        wqkv = rand(3, (dim, 3 * heads * d)) * 0.1
+        wout = rand(4, (heads * d, dim)) * 0.1
+        bout = rand(5, (dim,)) * 0.1
+        out = fused_attention_block(x, ln_s, ln_b, wqkv, wout, bout, heads, interpret=True)
+        assert out.shape == x.shape
+        ref = xla_attention_block(x, ln_s, ln_b, wqkv, wout, bout, heads, d**-0.5)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
     def test_grads_match_xla(self):
         from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
 
