@@ -1,0 +1,70 @@
+"""Train-step throughput on the real TPU chip, Pallas kernels ON
+(VERDICT r1 item 6: measure the kernels-on training path, not just test it).
+
+Config: ViT-B/16-ish @224 (ViT-L's 24-layer train state + optimizer
+doesn't fit 16GB HBM with fp32 adam moments at batch 128), batch 64,
+bf16 compute / fp32 params, cross-entropy, adamw.
+
+Compares:
+  kernels-on  - single-device shard_map step (make_shard_map_train_step
+                on a 1-device mesh; per-device program keeps the fused
+                Pallas kernels and their custom VJPs)
+  forced-xla  - the GSPMD step (make_train_step), which wraps the model
+                in ops.force_backend('xla')
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_train.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.models import ViT
+from vit_tpu.parallel import make_mesh
+from vit_tpu.train import (
+    create_train_state,
+    make_shard_map_train_step,
+    make_train_step,
+)
+
+B = 64
+
+
+def main():
+    model = ViT(
+        image_size=224, patch_size=16, num_classes=1000, dim=768,
+        depth=12, heads=12, mlp_dim=3072, dim_head=64, dtype=jnp.bfloat16,
+    )
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 224, 224, 3), jnp.bfloat16)
+    labels = jnp.arange(B) % 1000
+
+    mesh = make_mesh(n_data=1, n_model=1)
+    for name, step_fn, state in (
+        ("kernels-on", make_shard_map_train_step(model, mesh),
+         create_train_state(model, jax.random.PRNGKey(1), img[:1], mesh=mesh)),
+        ("forced-xla", make_train_step(model),
+         create_train_state(model, jax.random.PRNGKey(1), img[:1])),
+    ):
+        state, loss = step_fn(state, img, labels)  # compile
+        np.asarray(loss)
+        state, loss = step_fn(state, img, labels)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            state, loss = step_fn(state, img, labels)
+        np.asarray(loss)
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            f"{name}: {B/dt:.1f} img/s  ({dt*1e3:.1f} ms/step, loss {float(loss):.3f})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
