@@ -129,6 +129,35 @@ def _layer_norm(x, scale, bias, eps=1e-6):
     return y
 
 
+_remat_enabled: "contextvars.ContextVar[bool]" = None  # set below
+
+
+def remat_scope():
+    """Enable per-block rematerialization for model applies traced inside
+    this context (``jax.checkpoint`` on each scanned encoder block): the
+    backward pass recomputes block activations instead of keeping them
+    alive, trading ~1/3 more FLOPs for O(depth) less live memory. The
+    GSPMD train step uses this — without it a ViT-B/64-batch backward
+    keeps every layer's attention intermediates in HBM (measured OOM,
+    16.68G/15.75G; see PERFORMANCE.md)."""
+    return _remat_ctx()
+
+
+import contextlib
+import contextvars
+
+_remat_enabled = contextvars.ContextVar("vit_tpu_remat", default=False)
+
+
+@contextlib.contextmanager
+def _remat_ctx():
+    token = _remat_enabled.set(True)
+    try:
+        yield
+    finally:
+        _remat_enabled.reset(token)
+
+
 def scan_unroll_for(depth: int) -> int:
     """Unroll policy for scanned encoder stacks: full unroll at depth <= 8
     (straight-line HLO, static param slices, cross-layer fusion — ~10%
@@ -269,8 +298,12 @@ class Transformer(nn.Module):
                 if self.scan_unroll is not None
                 else scan_unroll_for(self.depth)
             )
+            cell = EncoderBlock
+            if _remat_enabled.get():
+                # deterministic (arg index 1) is a static python bool
+                cell = nn.remat(cell, static_argnums=(1,))
             stacked = nn.scan(
-                EncoderBlock,
+                cell,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
