@@ -113,8 +113,8 @@ def make_ref_runner(module_name, cls_name, cfg, img, *, mutable=(), shims=()):
             fn = jax.jit(lambda p, x: model.apply(p, x, rngs=RNGS, mutable=list(mutable))[0])
         else:
             fn = jax.jit(lambda p, x: model.apply(p, x, rngs=RNGS))
-        out = fn(params, img)
-        if isinstance(out, tuple):
+        # tuple outputs (LeViT distill head): detect without executing
+        if isinstance(jax.eval_shape(fn, params, img), tuple):
             fn0 = fn
             fn = jax.jit(lambda p, x: fn0(p, x)[0])
         return timed(fn, params, img, batch=batch)
@@ -304,8 +304,23 @@ def main():
             continue
         rows.append(bench_family(name, ref_fn, ours_fn))
 
-    with open("/root/repo/PERF_ZOO.json", "a") as f:
-        for r in rows:
+    # merge-rewrite: one row per family, newest wins — append mode left
+    # stale contradictory generations in the committed artifact
+    path = "/root/repo/PERF_ZOO.json"
+    merged = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    d = json.loads(line)
+                    merged[d["family"]] = d
+    except FileNotFoundError:
+        pass
+    for r in rows:
+        merged[r["family"]] = r
+    with open(path, "w") as f:
+        for r in merged.values():
             f.write(json.dumps(r) + "\n")
 
 

@@ -86,6 +86,7 @@ def test_scan_unroll_invariant():
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 17, 32))
     outs, shapes = [], []
+    prior = os.environ.get("VIT_TPU_SCAN_UNROLL")
     for unroll in ("1", "6"):
         os.environ["VIT_TPU_SCAN_UNROLL"] = unroll
         try:
@@ -94,6 +95,9 @@ def test_scan_unroll_invariant():
             outs.append(m.apply(p, x))
             shapes.append(jax.tree.map(jnp.shape, p))
         finally:
-            del os.environ["VIT_TPU_SCAN_UNROLL"]
+            if prior is None:
+                os.environ.pop("VIT_TPU_SCAN_UNROLL", None)
+            else:
+                os.environ["VIT_TPU_SCAN_UNROLL"] = prior
     assert shapes[0] == shapes[1]
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-6, rtol=1e-6)

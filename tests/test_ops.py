@@ -237,6 +237,38 @@ class TestCustomVJP:
         gr = jax.grad(lambda q: jnp.sum(reference_attention(q, k, v) ** 2))(q)
         np.testing.assert_allclose(g, gr, atol=2e-4, rtol=2e-4)
 
+    def test_flash_chunked_backward_matches_reference_vjp(self):
+        # The custom backward recomputes scores one Q chunk at a time (no
+        # B*H*Nq*Nk materialization); gradients must equal the reference
+        # vjp including bias broadcast reduction, boundary chunks that
+        # would clamp a dynamic_slice, and the LSA diagonal mask.
+        for nq, nk, bias_shape, mask_self in (
+            (33, 33, (1, 1, 33, 33), False),  # pad + clamp-prone boundary
+            (64, 64, (1, 2, 64, 64), False),  # per-head bias
+            (40, 40, None, True),             # diagonal mask
+        ):
+            b, h, d = 2, 2, 8
+            q = rand(0, (b, h, nq, d))
+            k = rand(1, (b, h, nk, d))
+            v = rand(2, (b, h, nk, d))
+            bias = rand(3, bias_shape) if bias_shape else None
+            args = (q, k, v) if bias is None else (q, k, v, bias)
+            nums = tuple(range(len(args)))
+            gf = jax.grad(
+                lambda *a: jnp.sum(
+                    flash_attention(*a, mask_self=mask_self, block_q=32, interpret=True) ** 2
+                ),
+                argnums=nums,
+            )(*args)
+            gr = jax.grad(
+                lambda *a: jnp.sum(
+                    reference_attention(*a, mask_self=mask_self) ** 2
+                ),
+                argnums=nums,
+            )(*args)
+            for a, b_ in zip(gf, gr):
+                np.testing.assert_allclose(a, b_, atol=2e-4, rtol=1e-3)
+
     def test_fused_mlp_grads_match_xla(self):
         from vit_tpu.ops.fused_mlp import fused_mlp, reference_mlp
 

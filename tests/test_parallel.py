@@ -136,3 +136,27 @@ def test_shard_map_train_step_kernels_on():
     diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                         new_state.params, state.params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_gspmd_train_step_with_dropout_and_remat():
+    """Regression: nn.remat static_argnums counts `self` as 0 — marking
+    index 1 froze the scan carry and left `deterministic` traced, crashing
+    every dropout>0 model inside make_train_step (TracerBoolConversionError)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models import ViT
+    from vit_tpu.train import create_train_state, make_train_step
+
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,
+                heads=4, mlp_dim=128, dim_head=16, dropout=0.1)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    labels = jnp.arange(4) % 10
+    state = create_train_state(model, jax.random.PRNGKey(1), img[:1])
+    step = make_train_step(model)
+    state, loss = step(state, img, labels)
+    assert jnp.isfinite(loss)
+    # and the opt-out path compiles too
+    step_noremat = make_train_step(model, remat=False)
+    _, loss2 = step_noremat(state, img, labels)
+    assert jnp.isfinite(loss2)

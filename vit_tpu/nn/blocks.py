@@ -300,8 +300,11 @@ class Transformer(nn.Module):
             )
             cell = EncoderBlock
             if _remat_enabled.get():
-                # deterministic (arg index 1) is a static python bool
-                cell = nn.remat(cell, static_argnums=(1,))
+                # deterministic is a static python bool. argnums count
+                # `self` as 0 (linen's checkpoint subtracts 1 before
+                # passing them to jax.checkpoint), so (x, deterministic)
+                # are (1, 2) — marking 1 would freeze the scan carry.
+                cell = nn.remat(cell, static_argnums=(2,))
             stacked = nn.scan(
                 cell,
                 variable_axes={"params": 0},

@@ -217,18 +217,99 @@ def _flash_fwd(q, k, v, bias, scale, mask_self, block_q, interpret):
         q, k, v, bias,
         scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
     )
-    return out, (q, k, v, bias)
+    # out is saved for the chunked backward's delta = rowsum(dO ∘ O) —
+    # it replaces the per-row softmax statistics flash backwards need.
+    return out, (q, k, v, bias, out)
 
 
 def _flash_bwd(scale, mask_self, block_q, interpret, res, g):
-    q, k, v, bias = res
+    """Q-chunked recompute backward.
 
-    def f(q, k, v, bias):
-        return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
+    A plain ``jax.vjp(reference_attention)`` recompute materializes the
+    full ``B*H*Nq*Nk`` fp32 score tensor — at exactly the both-sides-long
+    shapes the auto-dispatcher reserves for flash (T2T's 3136² stage is
+    ~5 GB at batch 128), which negates the kernel's memory advantage in
+    training. This backward recomputes scores one Q chunk at a time
+    (``lax.scan``): peak extra memory is ``B*H*chunk*Nk`` fp32.
 
-    out_dtype = jnp.result_type(v.dtype)
-    _, vjp = jax.vjp(f, q, k, v, bias)
-    return vjp(g.astype(out_dtype))
+    Math (per b,h):  P = softmax(scale·QKᵀ + bias);  O = P V
+      dV = Pᵀ dO
+      dP = dO Vᵀ;   dS = P ∘ (dP − rowsum(dO ∘ O))
+      dQ = scale · dS K;   dK = scale · dSᵀ Q;   dbias = Σ_broadcast dS
+    """
+    q, k, v, bias, out = res
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dv = v.shape[-1]
+
+    chunk = min(block_q, nq)
+    n_chunks = -(-nq // chunk)
+    nq_pad = n_chunks * chunk
+    pad = nq_pad - nq
+
+    f32 = jnp.float32
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else q
+    gf = jnp.pad(g, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else g
+    of = jnp.pad(out, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else out
+    # (n_chunks, b, h, chunk, ·)
+    q_c = qf.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    g_c = gf.astype(f32).reshape(b, h, n_chunks, chunk, dv).transpose(2, 0, 1, 3, 4)
+    o_c = of.astype(f32).reshape(b, h, n_chunks, chunk, dv).transpose(2, 0, 1, 3, 4)
+
+    has_bias = bias is not None
+    if has_bias and pad:
+        # pad the query axis so the per-chunk dynamic_slice never clamps
+        # at the boundary (a clamped start silently re-reads earlier rows)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    def one_chunk(carry, xs):
+        dk_acc, dv_acc = carry[:2]
+        ci, qc, gc, oc = xs
+        s = jnp.einsum("bhid,bhjd->bhij", qc, k, preferred_element_type=f32)
+        s = s * scale
+        if has_bias:
+            bchunk = jax.lax.dynamic_slice_in_dim(
+                bias.astype(f32), ci * chunk, chunk, axis=2
+            )
+            s = s + bchunk
+        if mask_self:
+            row = jax.lax.broadcasted_iota(jnp.int32, (chunk, nk), 0) + ci * chunk
+            col = jax.lax.broadcasted_iota(jnp.int32, (chunk, nk), 1)
+            s = jnp.where(row == col, MASK_VALUE, s)
+        p = jax.nn.softmax(s, axis=-1)
+        dv_acc = dv_acc + jnp.einsum("bhij,bhie->bhje", p, gc, preferred_element_type=f32)
+        dp = jnp.einsum("bhie,bhje->bhij", gc, v.astype(f32), preferred_element_type=f32)
+        delta = jnp.sum(gc * oc, axis=-1, keepdims=True)  # rowsum(dO∘O)
+        ds = p * (dp - delta)
+        dq_chunk = scale * jnp.einsum("bhij,bhjd->bhid", ds, k.astype(f32), preferred_element_type=f32)
+        dk_acc = dk_acc + scale * jnp.einsum(
+            "bhij,bhid->bhjd", ds, qc.astype(f32), preferred_element_type=f32
+        )
+        if has_bias:
+            # reduce over the bias's broadcast dims (B|1, H|1)
+            db_chunk = ds
+            if bias.shape[0] == 1:
+                db_chunk = jnp.sum(db_chunk, axis=0, keepdims=True)
+            if bias.shape[1] == 1:
+                db_chunk = jnp.sum(db_chunk, axis=1, keepdims=True)
+            return (dk_acc, dv_acc), (dq_chunk, db_chunk)
+        return (dk_acc, dv_acc), (dq_chunk, jnp.zeros((), f32))
+
+    carry0 = (
+        jnp.zeros((b, h, nk, d), f32),
+        jnp.zeros((b, h, nk, dv), f32),
+    )
+    (dk, dvv), (dq_chunks, db_chunks) = jax.lax.scan(
+        one_chunk, carry0, (jnp.arange(n_chunks), q_c, g_c, o_c)
+    )
+    dq = dq_chunks.transpose(1, 2, 0, 3, 4).reshape(b, h, nq_pad, d)[:, :, :nq]
+    if has_bias:
+        bb, bh = bias.shape[0], bias.shape[1]
+        db = db_chunks.transpose(1, 2, 0, 3, 4).reshape(bb, bh, nq_pad, nk)[:, :, :nq]
+        db = db.astype(bias.dtype)
+    else:
+        db = None
+    return dq.astype(q.dtype), dk.astype(k.dtype), dvv.astype(v.dtype), db
 
 
 _flash_attention_ad.defvjp(_flash_fwd, _flash_bwd)

@@ -177,9 +177,12 @@ def _window_attention_block_impl(
     if has_bias:
         bias = bias.reshape(-1, s, s).astype(jnp.float32)  # (1|H, S, S)
         if sp != s:
-            # pad with MASK_VALUE so padded keys stay masked even before the
-            # validity mask (defense in depth; the mask already covers it)
-            bias = jnp.pad(bias, ((0, 0), (0, sp - s), (0, sp - s)))
+            # MASK_VALUE fill so padded keys stay masked even if the
+            # in-kernel validity mask is ever refactored away
+            bias = jnp.pad(
+                bias, ((0, 0), (0, sp - s), (0, sp - s)),
+                constant_values=MASK_VALUE,
+            )
         in_specs.append(
             pl.BlockSpec(
                 (bias.shape[0], sp, sp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM

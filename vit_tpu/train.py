@@ -16,6 +16,8 @@ with XLA-recompute backwards) and serve single-chip / shard_map training.
 
 from __future__ import annotations
 
+import contextlib
+
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -72,12 +74,21 @@ def create_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32), model_state)
 
 
-def make_train_step(model, optimizer=None, *, dropout_seed: int = 0) -> Callable:
+def make_train_step(
+    model, optimizer=None, *, dropout_seed: int = 0, remat: bool = True
+) -> Callable:
     """Jitted ``step(state, images, labels) -> (state, loss)``.
 
     Works on one chip or any mesh: place ``state``/batch with the desired
     shardings (``create_train_state(mesh=...)`` + a ``P('data')`` batch) and
     GSPMD partitions the step accordingly.
+
+    ``remat=True`` (default) checkpoints each scanned encoder block — the
+    backward recomputes activations instead of keeping ``depth`` layers of
+    attention intermediates alive (measured: ViT-B/64-batch OOMs 16 GB HBM
+    without it, and WITH it is also 26% faster — XLA fuses the recomputed
+    forward into the backward GEMMs; PERFORMANCE.md). Set ``remat=False``
+    for small models where the recompute FLOPs could outweigh the savings.
     """
     optimizer = optimizer or make_optimizer()
 
@@ -91,12 +102,8 @@ def make_train_step(model, optimizer=None, *, dropout_seed: int = 0) -> Callable
                     jax.random.PRNGKey(dropout_seed), state.step
                 )
             }
-            # remat_scope: checkpoint each scanned encoder block so the
-            # backward recomputes activations instead of keeping 'depth'
-            # layers of attention intermediates alive (the XLA op path has
-            # no custom-VJP recompute; measured OOM without it, ViT-B/64:
-            # 16.68G/15.75G HBM).
-            with ops.force_backend("xla"), remat_scope():
+            scope = remat_scope() if remat else contextlib.nullcontext()
+            with ops.force_backend("xla"), scope:
                 if has_state:
                     # BatchNorm models: thread mutable state through the step
                     logits, new_state = model.apply(
