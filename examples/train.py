@@ -1,0 +1,100 @@
+"""End-to-end training example: any of the 17 model families, synthetic or
+folder-of-JPEGs data, single chip or a dp x tp mesh.
+
+  python examples/train.py --model vit --steps 20            # synthetic, 1 chip
+  python examples/train.py --model crossformer --dp 4 --tp 2 # 8-device mesh
+  python examples/train.py --data /path/to/jpegs --labels labels.txt
+
+The reference repo has no training loop (SURVEY.md §0); this is the
+framework's canonical one: create_train_state places params with the TP
+sharding rules, make_train_step is GSPMD-partitioned with per-block
+rematerialization, and checkpoints round-trip through orbax
+(vit_tpu.utils.checkpoint).
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vit", help="MODEL_REGISTRY name")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--classes", type=int, default=1000)
+    ap.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
+    ap.add_argument("--data", default=None, help="directory of JPEGs (synthetic if unset)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args()
+
+    from vit_tpu.models import MODEL_REGISTRY
+    from vit_tpu.train import (
+        create_train_state, make_train_step, shard_batch,
+    )
+    from vit_tpu.parallel import make_mesh
+
+    model_cls, default_cfg, default_size = MODEL_REGISTRY[args.model]
+    cfg = dict(default_cfg)
+    cfg.update(num_classes=args.classes)
+    if "image_size" in cfg:
+        cfg["image_size"] = args.image_size
+    else:
+        args.image_size = default_size
+    model = model_cls(**cfg, dtype=jnp.bfloat16)
+
+    mesh = None
+    if args.dp * args.tp > 1:
+        mesh = make_mesh(n_data=args.dp, n_model=args.tp)
+
+    if args.data:
+        import pathlib
+
+        from vit_tpu.data import JpegDecoder
+
+        files = sorted(pathlib.Path(args.data).glob("*.jpg"))
+        decoder = JpegDecoder(size=args.image_size)
+        raw = decoder([f.read_bytes() for f in files[: args.batch]])
+        images = jnp.asarray(raw, jnp.float32) / 255.0
+        labels = jnp.arange(images.shape[0]) % args.classes
+    else:
+        images = jax.random.normal(
+            jax.random.PRNGKey(0),
+            (args.batch, args.image_size, args.image_size, 3),
+            jnp.bfloat16,
+        )
+        labels = jnp.arange(args.batch) % args.classes
+
+    state = create_train_state(model, jax.random.PRNGKey(1), images[:1], mesh=mesh)
+    step = make_train_step(model)
+    if mesh is not None:
+        images = shard_batch(images, mesh)
+        labels = shard_batch(labels, mesh)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, loss = step(state, images, labels)
+        if i == 0:
+            np.asarray(loss)  # compile barrier
+            print(f"compiled in {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+        if (i + 1) % 5 == 0:
+            print(f"step {i + 1}: loss {float(loss):.4f}")
+    np.asarray(loss)
+    dt = (time.perf_counter() - t0) / max(1, args.steps - 1)
+    print(f"{args.batch / dt:.1f} img/s ({dt * 1e3:.1f} ms/step)")
+
+    if args.checkpoint_dir:
+        from vit_tpu.utils.checkpoint import save_checkpoint  # noqa: PLC0415
+
+        save_checkpoint(args.checkpoint_dir, state)
+        print(f"checkpoint saved to {args.checkpoint_dir}")
+
+
+if __name__ == "__main__":
+    main()
