@@ -118,6 +118,18 @@ _MIN_PALLAS_SEQ = 128
 _MIN_BLOCK_SEQ = 64
 
 
+def _block_kernel_wins(n: int) -> bool:
+    """Auto-dispatch rule for the fused block kernel, from the measured
+    sweep: XLA is slow exactly at n<=64 and degrades again from ~128
+    (2.42ms at 128); between 65 and 127 it sits in its fast bucket
+    (1.55ms at 65) where the kernel's 16-row token padding would add both
+    pad/unpad copies and wasted rows. So: kernel for tile-aligned n >= 64
+    (no padding needed) and for everything >= 128 (padding measured a net
+    win there — ViT-L 197->208 runs 2.77 vs 2.92ms); XLA for unaligned
+    65..127."""
+    return (n % 16 == 0 and n >= _MIN_BLOCK_SEQ) or n >= 128
+
+
 def attention(
     q,
     k,
@@ -129,8 +141,18 @@ def attention(
 ):
     """Dispatching multi-head attention: ``[B, H, N, D]`` in/out."""
     mode, auto = _resolved_mode()
-    short = q.shape[2] < _MIN_FLASH_SEQ or k.shape[2] < _MIN_FLASH_SEQ
-    if mode == "xla" or (auto and mode == "pallas" and short):
+    b_, h_, nq_ = q.shape[:3]
+    nk_ = k.shape[2]
+    # XLA materializes the fp32 score tensor; once that is multi-GB the
+    # einsum turns into pure HBM traffic and flash wins even at mid
+    # lengths (RegionViT quirks: 512x4 windows of 785 tokens = 4.9GB,
+    # flash-era 1747 img/s vs XLA-era 995). Below that, XLA's batched
+    # einsum wins every measured case up to 2.1GB (cvt 4096/1024: 9.6 vs
+    # 46ms) unless both sides are long (t2t 3136/3136 at 5GB: 12 vs 42ms).
+    score_gb = b_ * h_ * nq_ * nk_ * 4 / 2**30
+    long_both = nq_ >= _MIN_FLASH_SEQ and nk_ >= _MIN_FLASH_SEQ
+    use_flash = long_both or (score_gb >= 2.5 and min(nq_, nk_) >= 256)
+    if mode == "xla" or (auto and mode == "pallas" and not use_flash):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     return flash_attention(
         q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
@@ -143,7 +165,7 @@ def attention_block(
     """Dispatching fully-fused attention block (LN -> qkv -> attention ->
     out-proj -> +residual); XLA fallback off-TPU."""
     mode, auto = _resolved_mode()
-    if mode == "xla" or (auto and mode == "pallas" and x.shape[1] < _MIN_BLOCK_SEQ):
+    if mode == "xla" or (auto and mode == "pallas" and not _block_kernel_wins(x.shape[1])):
         if scale is None:
             scale = (wqkv.shape[1] // 3 // heads) ** -0.5
         return xla_attention_block(
