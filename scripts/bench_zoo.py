@@ -5,10 +5,11 @@ VERDICT r1 item 4: a single flagship number can hide regressions; this
 benches all 17 families. Timing syncs by pulling the last output to host
 (block_until_ready under-reports on this environment's tunneled backend).
 
-Conv-hybrid families (cvt/levit/twins_svt) run ours at fp32: measured
-faster than bf16 on TPU (depthwise/BN conv pipelines are conversion-
-bound, and fp32 GEMMs run one-pass bf16 on the MXU under default
-precision anyway — same MXU cost, fewer casts).
+Conv-hybrid families (cvt/levit) run ours at fp32: measured faster than
+bf16 on TPU (depthwise/BN conv pipelines are conversion-bound, and fp32
+GEMMs run one-pass bf16 on the MXU under default precision anyway —
+same MXU cost, fewer casts). Twins runs bf16: with its local attention
+on the fused multi-window kernel, bf16 measures 1674 img/s vs 817 fp32.
 
 Reference comparators need the same minimal shims as the parity tests:
 - Array.split method restore (simple_vit / parallel_vit / patch_merger
@@ -256,7 +257,7 @@ def main():
                           img(224))),
         ("twins_svt",
          make_ref_runner("twins_svt", "TwinsSVT", dict(num_classes=1000, dropout=0.0), img(224)),
-         make_ours_runner(M.TwinsSVT, dict(num_classes=1000), img(224), dtype=None)),
+         make_ours_runner(M.TwinsSVT, dict(num_classes=1000), img(224))),
         ("scalable_vit",
          make_ref_runner("scalable_vit", "ScalableViT",
                          dict(num_classes=1000, dim=64, heads=(2, 4, 8, 16), depth=(2, 2, 20, 2),

@@ -38,20 +38,32 @@ class _LocalAttention(nn.Module):
     @nn.compact
     def __call__(self, fmap: jax.Array, deterministic: bool = True) -> jax.Array:
         inner = self.heads * self.dim_head
-        _, h, w, _ = fmap.shape
+        b, h, w, dim = fmap.shape
         p = self.patch_size
+        dtype = self.dtype or fmap.dtype
 
-        fmap = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(fmap)
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(fmap)
-        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(fmap)
+        # raw parameters so the whole block — LN, fused qkv projection,
+        # window partition, block-diagonal attention, out projection —
+        # lowers to the single fused multi-window kernel (the CrossFormer
+        # _LSDAttention pattern). The reference's separate to_q/to_kv 1x1
+        # convs concatenate column-wise into the fused [q|k|v] kernel.
+        norm_scale = self.param("norm_scale", nn.initializers.ones, (dim,), jnp.float32)
+        norm_bias = self.param("norm_bias", nn.initializers.zeros, (dim,), jnp.float32)
+        wqkv = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (dim, inner * 3), jnp.float32
+        )
+        wout = self.param(
+            "out_kernel", nn.initializers.lecun_normal(), (inner, dim), jnp.float32
+        )
+        bout = self.param("out_bias", nn.initializers.zeros, (dim,), jnp.float32)
 
-        q = ops.window_partition(q, p)
-        kv = ops.window_partition(kv, p)
-        k, v = jnp.split(kv, 2, axis=-1)
-
-        out = mha_tokens(q, k, v, self.heads, scale=self.dim_head**-0.5)
+        xw = ops.window_partition(fmap, p)
+        out = ops.window_attention_block(
+            xw, norm_scale, norm_bias,
+            wqkv.astype(dtype), wout.astype(dtype), bout,
+            self.heads, scale=self.dim_head**-0.5, ln_eps=1e-5,
+        )
         out = ops.window_unpartition(out, p, h, w)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
 
 

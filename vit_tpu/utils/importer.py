@@ -464,11 +464,19 @@ def import_reference_twins_params(
             if has_local:
                 la = tr[f"LocalAttention_{i}"]
                 norm = tr[f"PreNorm_{per * i}"]["LayerNorm_0"]
+                # separate to_q / to_kv 1x1 convs concatenate column-wise
+                # into the fused-kernel [q|k|v] layout (kv is already [k|v])
+                q_k = _conv1x1_to_dense(la["Conv_0"])["kernel"]
+                kv_k = _conv1x1_to_dense(la["Conv_1"])["kernel"]
+                to_out = _conv1x1_to_dense(la["Conv_2"])
                 out["local"] = {
-                    "norm": {"scale": norm["scale"], "bias": jnp.zeros_like(norm["scale"])},
-                    "to_q": _conv1x1_to_dense(la["Conv_0"]),
-                    "to_kv": _conv1x1_to_dense(la["Conv_1"]),
-                    "to_out": _conv1x1_to_dense(la["Conv_2"]),
+                    "norm_scale": norm["scale"],
+                    "norm_bias": jnp.zeros_like(norm["scale"]),
+                    "qkv_kernel": jnp.concatenate([q_k, kv_k], axis=1),
+                    "out_kernel": to_out["kernel"],
+                    "out_bias": to_out.get(
+                        "bias", jnp.zeros((to_out["kernel"].shape[1],))
+                    ),
                 }
                 out["ff1"] = mlp_of(tr[f"MLP_{2 * i}"], tr[f"PreNorm_{per * i + 1}"]["LayerNorm_0"])
             ga = tr[f"GlobalAttention_{i}"]
