@@ -95,16 +95,6 @@ def backend_mode() -> str:
     return _resolved_mode()[0]
 
 
-# The per-(batch, head) flash kernel serializes its grid on the single
-# TPU core, so program-launch overhead dominates unless each (b, h)
-# program carries big blocked work. Measured (B=128 zoo shapes,
-# scripts/tune_attn_dispatch.py): XLA wins every short/asymmetric case —
-# levit 196/196 (3.0 vs 44ms), vit-l 197/197 (7.0 vs 41ms), cvt 4096/1024
-# (9.6 vs 46ms), gsa 3136/49 (6.8 vs 64ms) — while flash wins 3.5x only
-# when BOTH sides are long (t2t 3136/3136: 12.0 vs 42ms; XLA's 5GB fp32
-# score tensor becomes pure HBM traffic). Auto mode keys on that.
-_MIN_FLASH_SEQ = 2048
-
 # Legacy floor for the fused-qkv kernel (batch-axis grid): below this the
 # sequence fits XLA's fast einsum buckets and the kernel's q-tiling can't
 # help (window families at 49-64 tokens ride their own packed kernel).
@@ -141,17 +131,19 @@ def attention(
 ):
     """Dispatching multi-head attention: ``[B, H, N, D]`` in/out."""
     mode, auto = _resolved_mode()
-    b_, h_, nq_ = q.shape[:3]
-    nk_ = k.shape[2]
-    # XLA materializes the fp32 score tensor; once that is multi-GB the
-    # einsum turns into pure HBM traffic and flash wins even at mid
-    # lengths (RegionViT quirks: 512x4 windows of 785 tokens = 4.9GB,
-    # flash-era 1747 img/s vs XLA-era 995). Below that, XLA's batched
-    # einsum wins every measured case up to 2.1GB (cvt 4096/1024: 9.6 vs
-    # 46ms) unless both sides are long (t2t 3136/3136 at 5GB: 12 vs 42ms).
-    score_gb = b_ * h_ * nq_ * nk_ * 4 / 2**30
-    long_both = nq_ >= _MIN_FLASH_SEQ and nk_ >= _MIN_FLASH_SEQ
-    use_flash = long_both or (score_gb >= 2.5 and min(nq_, nk_) >= 256)
+    nq_, nk_ = q.shape[2], k.shape[2]
+    # Measured (scripts/tune_attn_dispatch.py shapes, B=128, bf16): flash
+    # wins whenever both sides carry real blocked work — cvt 4096/1024:
+    # 5.45 vs 8.73ms; cvt 1024/256: 3.97 vs 4.36; vit-l 197/197: 5.95 vs
+    # 6.43; t2t 3136/3136: 12 vs 42 (XLA's 5GB score tensor is pure HBM
+    # traffic); RegionViT quirks 785-token windows: 1923 vs 995 img/s
+    # whole-model. XLA keeps the short-kv cases where per-(b,h) programs
+    # degenerate (twins-GSA 3136/49: 4.48 vs 6.88ms), everything tiny
+    # (windows at 49-64 tokens), and ALL fp32 inputs: the kernel requests
+    # Precision.HIGHEST there (a deliberate fidelity choice) which runs
+    # 3-pass bf16 — measured in-model cvt 0.99x -> 0.88x, levit 1.11x ->
+    # 0.69x when fp32 streams were routed to flash.
+    use_flash = q.dtype.itemsize < 4 and nq_ >= 128 and nk_ >= 128
     if mode == "xla" or (auto and mode == "pallas" and not use_flash):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     return flash_attention(
