@@ -410,3 +410,42 @@ class TestWindowAttentionBlock:
             *a[:6], heads, a[6]) ** 2), argnums=tuple(range(7)))(*args)
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(a, b_, atol=2e-3, rtol=2e-3)
+
+
+class TestReattentionBlock:
+    def _args(self, b, n, dim, heads, d):
+        hd = heads * d
+        return (
+            rand(0, (b, n, dim)),
+            rand(1, (dim,)) * 0.1 + 1, rand(2, (dim,)) * 0.1,
+            rand(3, (dim, 3 * hd)) * 0.1, rand(4, (hd, dim)) * 0.1,
+            rand(5, (dim,)) * 0.1, rand(6, (heads, heads)) * 0.3,
+            rand(7, (heads,)) * 0.1 + 1, rand(8, (heads,)) * 0.1,
+        )
+
+    @pytest.mark.parametrize("n", [50, 64, 65])
+    def test_matches_xla(self, n):
+        from vit_tpu.ops.reattention_block import (
+            fused_reattention_block, xla_reattention_block)
+
+        args = self._args(2, n, 48, 3, 16)
+        out = fused_reattention_block(*args, 3, interpret=True)
+        ref = xla_reattention_block(*args, 3, 16**-0.5)
+        assert out.shape == args[0].shape
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_xla(self):
+        from vit_tpu.ops.reattention_block import (
+            fused_reattention_block, xla_reattention_block)
+
+        args = self._args(2, 33, 32, 2, 16)
+        nums = tuple(range(9))
+        gf = jax.grad(lambda *a: jnp.sum(
+            fused_reattention_block(*a, 2, interpret=True) ** 2), argnums=nums)(*args)
+        gr = jax.grad(lambda *a: jnp.sum(
+            xla_reattention_block(*a, 2, 16**-0.5) ** 2), argnums=nums)(*args)
+        for a, b in zip(gf, gr):
+            scale = max(1.0, float(np.max(np.abs(np.asarray(b)))))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4
+            )

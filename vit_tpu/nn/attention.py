@@ -163,9 +163,8 @@ class Attention(nn.Module):
                 out_bias = self.param("out_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
 
             n = x.shape[1]
-            fully_fusable = (
+            _common_fusable = (
                 self.fuse_residual  # kernel includes the residual add
-                and not needs_materialized
                 and not self.mask_self
                 and bias is None
                 and project_out
@@ -173,6 +172,34 @@ class Attention(nn.Module):
                 and n <= 1024  # fp32 scores tile must fit VMEM
                 and self.dim * inner * 3 * 2 <= 8 * 1024 * 1024  # resident weights
             )
+            fully_fusable = _common_fusable and not needs_materialized
+            # DeepViT re-attention has its own fused kernel: the head mix
+            # and LayerNorm-over-heads are tile-wise over the per-head
+            # score tiles in VMEM (ops/reattention_block.py) — only
+            # training-mode attention dropout forces materializing.
+            reattn_fusable = (
+                _common_fusable
+                and self.reattention
+                and not self.talking_heads
+                and not self.learned_temperature
+                and (self.dropout == 0.0 or deterministic)
+            )
+            if reattn_fusable:
+                mix, rln_scale, rln_bias = self._reattn_params()
+                return ops.reattention_block(
+                    x,
+                    norm_scale,
+                    norm_bias,
+                    qkv_kernel.astype(dtype),
+                    out_kernel.astype(dtype),
+                    out_bias,
+                    mix,
+                    rln_scale,
+                    rln_bias,
+                    self.heads,
+                    scale=scale,
+                    ln_eps=self.norm_eps,
+                )
             if fully_fusable:
                 # out_bias stays fp32: the reference adds Dense biases on the
                 # fp32 accumulator; pre-casting it to bf16 was a systematic
@@ -252,6 +279,18 @@ class Attention(nn.Module):
             out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
         return out + residual if self.fuse_residual else out
 
+    def _reattn_params(self):
+        mix = self.param(
+            "reattn_weights", nn.initializers.normal(0.02), (self.heads, self.heads)
+        )
+        rln_scale = self.param(
+            "reattn_scale", nn.initializers.ones, (self.heads,), jnp.float32
+        )
+        rln_bias = self.param(
+            "reattn_bias", nn.initializers.zeros, (self.heads,), jnp.float32
+        )
+        return mix, rln_scale, rln_bias
+
     def _materializing_attention(self, q, k, v, bias, scale, deterministic):
         """XLA path materializing the score matrix — covers talking-heads,
         re-attention, LSA masking with learned temperature, and training-mode
@@ -276,13 +315,13 @@ class Attention(nn.Module):
             p = jnp.einsum("bhij,hg->bgij", p, mix_post)
         if self.reattention:
             # DeepViT: learned head re-mixing of the attention map,
-            # normalized across the token axis (deepvit.py:68-72).
-            reattn = self.param(
-                "reattn_weights", nn.initializers.normal(0.02), (self.heads, self.heads)
-            )
-            p = jnp.einsum("bhij,hg->bgij", p, reattn)
-            p = nn.LayerNorm(dtype=self.dtype, name="reattn_norm")(
-                p.transpose(0, 2, 3, 1)
-            ).transpose(0, 3, 1, 2)
+            # normalized across the head axis (deepvit.py:68-72). Raw
+            # parameters (same names as the fused kernel path) keep the
+            # param tree backend-independent.
+            reattn, rln_scale, rln_bias = self._reattn_params()
+            p = jnp.einsum("bhij,hg->bgij", p, reattn.astype(p.dtype))
+            p = _layer_norm_f32(
+                p.transpose(0, 2, 3, 1), rln_scale, rln_bias, 1e-6
+            ).transpose(0, 3, 1, 2).astype(v.dtype)
         p = nn.Dropout(self.dropout, name="attn_drop")(p, deterministic=deterministic)
         return jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)

@@ -17,6 +17,10 @@ from typing import Optional
 import jax
 
 from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
+from vit_tpu.ops.reattention_block import (
+    fused_reattention_block,
+    xla_reattention_block,
+)
 from vit_tpu.ops.flash_attention import flash_attention, reference_attention
 from vit_tpu.ops.window_attention import (
     fused_window_attention_block,
@@ -166,6 +170,30 @@ def attention_block(
     return fused_attention_block(
         x, ln_scale, ln_bias, wqkv, wout, bout, heads,
         scale=scale, ln_eps=ln_eps, interpret=(mode == "interpret"),
+    )
+
+
+def reattention_block(
+    x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+    heads: int, *, scale=None, ln_eps=1e-6, reattn_eps=1e-6,
+):
+    """Dispatching fused DeepViT re-attention block (LN -> qkv -> per-head
+    softmax -> head mix + LN-over-heads, tile-wise in VMEM -> PV -> out
+    proj -> +residual). The XLA fallback materializes the score tensor and
+    transposes for the head LayerNorm, so the kernel wins even at the
+    65-token DeepViT shape where the plain block kernel defers to XLA."""
+    mode, _auto = _resolved_mode()
+    if scale is None:
+        scale = (wqkv.shape[1] // 3 // heads) ** -0.5
+    if mode == "xla":
+        return xla_reattention_block(
+            x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+            heads, scale, ln_eps, reattn_eps,
+        )
+    return fused_reattention_block(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+        heads, scale=scale, ln_eps=ln_eps, reattn_eps=reattn_eps,
+        interpret=(mode == "interpret"),
     )
 
 

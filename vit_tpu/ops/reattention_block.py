@@ -1,0 +1,287 @@
+"""Fused DeepViT re-attention block kernel.
+
+DeepViT (reference deepvit.py:46-89) inserts a learned head re-mixing of
+the attention map followed by a LayerNorm over the head axis between
+softmax and PV:
+
+    p   = softmax(q k^T * scale)             per head
+    r_g = sum_h reattn[h, g] * p_h           head mix (deepvit.py:69)
+    r'  = LayerNorm_over_heads(r)            (deepvit.py:70-72)
+    out = r' v
+
+The reference (and this repo's XLA fallback) materializes p in HBM and
+transposes (b, h, i, j) -> (b, i, j, h) for the LayerNorm. In-kernel both
+steps are tile-wise over the per-head (N, N) score tiles held in VMEM:
+the head mix is a weighted sum of tiles, and the LayerNorm-over-heads is
+elementwise across the 16 tiles (mean/var per (i, j) position) — no
+transposes, no HBM round trip, one kernel for the whole block
+(LN -> qkv -> re-attention -> out proj -> +residual).
+
+Numerics follow flax LayerNorm's op order (fast variance, scale folded
+into the rsqrt multiplier) and jax.nn.softmax's division, like the other
+kernels in this package.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.block_attention import _ln_f32
+
+
+def _kernel(
+    x_ref,          # (1, N, D)
+    ln_scale_ref,   # (1, D)
+    ln_bias_ref,    # (1, D)
+    wqkv_ref,       # (D, 3*H*Dh)
+    wout_ref,       # (H*Dh, D)
+    bout_ref,       # (1, D)
+    mix_ref,        # (H, H) re-attention head mix
+    rln_scale_ref,  # (1, H)
+    rln_bias_ref,   # (1, H)
+    o_ref,          # (1, N, D)
+    *,
+    heads: int,
+    d: int,
+    scale: float,
+    ln_eps: float,
+    reattn_eps: float,
+    true_n: int,
+):
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if wqkv_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    hd = heads * d
+    n = x_ref.shape[1]
+    x = x_ref[0]
+    xn = _ln_f32(
+        x.astype(jnp.float32),
+        ln_scale_ref[0].astype(jnp.float32),
+        ln_bias_ref[0].astype(jnp.float32),
+        ln_eps,
+    ).astype(wqkv_ref.dtype)
+
+    qkv = jax.lax.dot(
+        xn, wqkv_ref[:], preferred_element_type=jnp.float32, precision=precision
+    ).astype(wqkv_ref.dtype)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    col_valid = col_ids < true_n
+
+    # per-head softmax'd score tiles, fp32, resident in VMEM
+    ps = []
+    for h in range(heads):
+        q = qkv[:, h * d : (h + 1) * d]
+        k = qkv[:, hd + h * d : hd + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        s *= scale
+        if true_n != n:
+            s = jnp.where(col_valid, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
+
+    # head re-mix: r_g = sum_h mix[h, g] * p_h — weighted sums of tiles
+    mix = mix_ref[...].astype(jnp.float32)
+    rs = [
+        sum(mix[h, g] * ps[h] for h in range(heads)) for g in range(heads)
+    ]
+
+    # LayerNorm over the head axis, elementwise across tiles (flax op
+    # order: fast variance, scale folded into the rsqrt multiplier)
+    inv_h = 1.0 / heads
+    mean = sum(rs) * inv_h
+    var = sum(r * r for r in rs) * inv_h - mean * mean
+    var = jnp.maximum(var, 0.0)
+    mul = jax.lax.rsqrt(var + reattn_eps)
+    rln_scale = rln_scale_ref[0].astype(jnp.float32)
+    rln_bias = rln_bias_ref[0].astype(jnp.float32)
+
+    outs = []
+    for g in range(heads):
+        rg = (rs[g] - mean) * (mul * rln_scale[g]) + rln_bias[g]
+        if true_n != n:
+            # the LN bias resurrects padded key columns (0 -> bias_g);
+            # they must contribute nothing to PV
+            rg = jnp.where(col_valid, rg, 0.0)
+        v = qkv[:, 2 * hd + g * d : 2 * hd + (g + 1) * d]
+        outs.append(
+            jax.lax.dot(
+                rg.astype(v.dtype), v,
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(wout_ref.dtype)
+        )
+    attn_out = jnp.concatenate(outs, axis=-1)
+
+    out = jax.lax.dot(
+        attn_out, wout_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
+    out += bout_ref[0].astype(jnp.float32)
+    out += x.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "ln_eps", "reattn_eps", "interpret")
+)
+def _reattention_block_impl(
+    x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+    heads, scale, ln_eps, reattn_eps, interpret,
+):
+    b, true_n, dim = x.shape
+    three_hd = wqkv.shape[1]
+    hd = three_hd // 3
+    d = hd // heads
+
+    sublanes = 16 if x.dtype.itemsize < 4 else 8
+    n = (true_n + sublanes - 1) // sublanes * sublanes
+    if n != true_n:
+        x = jnp.pad(x, ((0, 0), (0, n - true_n), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps,
+            reattn_eps=reattn_eps, true_n=true_n,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, three_hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * dim * three_hd
+            + 4 * b * heads * n * n * d
+            + 2 * b * n * hd * dim
+            + 4 * b * heads * heads * n * n,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (wqkv.size + wout.size) * wqkv.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, dim),
+        ln_bias.reshape(1, dim),
+        wqkv,
+        wout,
+        bout.reshape(1, dim),
+        mix,
+        rln_scale.reshape(1, heads),
+        rln_bias.reshape(1, heads),
+    )
+    return out[:, :true_n] if n != true_n else out
+
+
+def xla_reattention_block(
+    x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+    heads, scale, ln_eps=1e-6, reattn_eps=1e-6,
+):
+    """Plain-XLA equivalent (reference deepvit.py:60-77 semantics):
+    numerical reference, CPU fallback, and the recompute for backward."""
+    b, n, dim = x.shape
+    hd = wqkv.shape[1] // 3
+    d = hd // heads
+    xn = _ln_f32(
+        x.astype(jnp.float32), ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32), ln_eps,
+    ).astype(wqkv.dtype)
+    qkv = jnp.einsum("bnd,df->bnf", xn, wqkv, preferred_element_type=jnp.float32)
+    qkv = qkv.astype(wqkv.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    r = jnp.einsum("bhij,hg->bgij", p, mix.astype(p.dtype))
+    r = _ln_f32(
+        r.transpose(0, 2, 3, 1),
+        rln_scale.astype(jnp.float32),
+        rln_bias.astype(jnp.float32),
+        reattn_eps,
+    ).transpose(0, 3, 1, 2)
+    o = jnp.einsum("bhij,bhjd->bhid", r.astype(v.dtype), v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, hd).astype(wout.dtype)
+    out = jnp.einsum("bnf,fd->bnd", o, wout, preferred_element_type=jnp.float32)
+    out = out + bout.astype(jnp.float32) + x.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def _reattn_ad(x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+               heads, scale, ln_eps, reattn_eps, interpret):
+    return _reattention_block_impl(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+        heads, scale, ln_eps, reattn_eps, interpret,
+    )
+
+
+def _reattn_fwd(x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+                heads, scale, ln_eps, reattn_eps, interpret):
+    out = _reattention_block_impl(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+        heads, scale, ln_eps, reattn_eps, interpret,
+    )
+    return out, (x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias)
+
+
+def _reattn_bwd(heads, scale, ln_eps, reattn_eps, interpret, res, g):
+    def f(*diff_args):
+        return xla_reattention_block(
+            *diff_args, heads, scale, ln_eps, reattn_eps
+        )
+
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+_reattn_ad.defvjp(_reattn_fwd, _reattn_bwd)
+
+
+def fused_reattention_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wqkv: jax.Array,
+    wout: jax.Array,
+    bout: jax.Array,
+    mix: jax.Array,
+    rln_scale: jax.Array,
+    rln_bias: jax.Array,
+    heads: int,
+    *,
+    scale: Optional[float] = None,
+    ln_eps: float = 1e-6,
+    reattn_eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x + out_proj(reattention(qkv_proj(LN(x))))`` in one kernel.
+
+    Differentiable (Pallas forward, XLA-recompute backward). Returns the
+    residual-added stream, same shape/dtype as ``x``.
+    """
+    if scale is None:
+        scale = (wqkv.shape[1] // 3 // heads) ** -0.5
+    return _reattn_ad(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+        heads, float(scale), ln_eps, reattn_eps, interpret,
+    )

@@ -32,21 +32,19 @@ def import_reference_deepvit_params(
     def reattn(i):
         a = tr[f"Attention_{i}"]
         ln = a["LayerNorm_0"]
-        return a["reattn_weights"], {"scale": ln["scale"], "bias": ln["bias"]}
+        return a["reattn_weights"], ln["scale"], ln["bias"]
 
     if scan and depth > 1:
-        import jax
-
-        ws, lns = zip(*(reattn(i) for i in range(depth)))
+        ws, scales, biases = zip(*(reattn(i) for i in range(depth)))
         enc["blocks"]["attn"]["reattn_weights"] = jnp.stack(ws)
-        enc["blocks"]["attn"]["reattn_norm"] = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *lns
-        )
+        enc["blocks"]["attn"]["reattn_scale"] = jnp.stack(scales)
+        enc["blocks"]["attn"]["reattn_bias"] = jnp.stack(biases)
     else:
         for i in range(depth):
-            w, ln = reattn(i)
+            w, s, b_ = reattn(i)
             enc[f"attn_{i}"]["reattn_weights"] = w
-            enc[f"attn_{i}"]["reattn_norm"] = ln
+            enc[f"attn_{i}"]["reattn_scale"] = s
+            enc[f"attn_{i}"]["reattn_bias"] = b_
     return out
 
 
