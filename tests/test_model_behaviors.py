@@ -101,3 +101,43 @@ def test_scan_unroll_invariant():
                 os.environ["VIT_TPU_SCAN_UNROLL"] = prior
     assert shapes[0] == shapes[1]
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-6, rtol=1e-6)
+
+
+def _interpret_vs_xla(model, img_shape):
+    import os
+
+    img = jax.random.normal(jax.random.PRNGKey(0), img_shape)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    ref = model.apply(variables, img)  # xla path
+    old = os.environ.get("VIT_TPU_BACKEND")
+    os.environ["VIT_TPU_BACKEND"] = "interpret"
+    try:
+        out = model.apply(variables, img)  # fused kernels, interpreted
+    finally:
+        if old is None:
+            os.environ.pop("VIT_TPU_BACKEND")
+        else:
+            os.environ["VIT_TPU_BACKEND"] = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-3)
+
+
+def test_deepvit_fused_reattention_branch_matches_xla():
+    """Drive DeepViT's fused re-attention kernel branch (normally TPU-only)
+    in interpreter mode against the materializing XLA path."""
+    from vit_tpu.models import DeepViT
+
+    _interpret_vs_xla(
+        DeepViT(image_size=32, patch_size=8, num_classes=10, dim=64,
+                depth=2, heads=4, mlp_dim=128, dim_head=16),
+        (1, 32, 32, 3),
+    )
+
+
+def test_cait_fused_talking_heads_branch_matches_xla():
+    """Drive CaiT's fused talking-heads kernel branch (normally TPU-only)
+    in interpreter mode against the materializing XLA path."""
+    _interpret_vs_xla(
+        CaiT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,
+             cls_depth=1, heads=4, mlp_dim=128, dim_head=16),
+        (1, 32, 32, 3),
+    )

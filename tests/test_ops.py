@@ -449,3 +449,42 @@ class TestReattentionBlock:
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4
             )
+
+
+class TestTalkingHeadsBlock:
+    def _args(self, b, n, dim, heads, d):
+        hd = heads * d
+        return (
+            rand(0, (b, n, dim)),
+            rand(1, (dim,)) * 0.1 + 1, rand(2, (dim,)) * 0.1,
+            rand(3, (dim, 3 * hd)) * 0.1, rand(4, (hd, dim)) * 0.1,
+            rand(5, (dim,)) * 0.1,
+            rand(6, (heads, heads)) * 0.3, rand(7, (heads, heads)) * 0.3,
+        )
+
+    @pytest.mark.parametrize("n,residual", [(50, False), (64, True), (65, False)])
+    def test_matches_xla(self, n, residual):
+        from vit_tpu.ops.reattention_block import (
+            fused_talking_heads_block, xla_talking_heads_block)
+
+        args = self._args(2, n, 48, 3, 16)
+        out = fused_talking_heads_block(*args, 3, residual=residual, interpret=True)
+        ref = xla_talking_heads_block(*args, 3, 16**-0.5, residual=residual)
+        assert out.shape == args[0].shape
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_xla(self):
+        from vit_tpu.ops.reattention_block import (
+            fused_talking_heads_block, xla_talking_heads_block)
+
+        args = self._args(2, 33, 32, 2, 16)
+        nums = tuple(range(8))
+        gf = jax.grad(lambda *a: jnp.sum(
+            fused_talking_heads_block(*a, 2, interpret=True) ** 2), argnums=nums)(*args)
+        gr = jax.grad(lambda *a: jnp.sum(
+            xla_talking_heads_block(*a, 2, 16**-0.5) ** 2), argnums=nums)(*args)
+        for a, b in zip(gf, gr):
+            scale = max(1.0, float(np.max(np.abs(np.asarray(b)))))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4
+            )

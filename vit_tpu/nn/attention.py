@@ -184,6 +184,45 @@ class Attention(nn.Module):
                 and not self.learned_temperature
                 and (self.dropout == 0.0 or deterministic)
             )
+            # CaiT talking-heads: both head mixes are tile-wise in-kernel.
+            # The residual is NOT fused (CaiT gates deltas with LayerScale)
+            # so _common_fusable's fuse_residual clause doesn't apply.
+            th_fusable = (
+                not self.mask_self
+                and bias is None
+                and project_out
+                and ops.backend_mode() != "xla"
+                and n <= 1024
+                and self.dim * inner * 3 * 2 <= 8 * 1024 * 1024
+                and self.talking_heads
+                and not self.reattention
+                and not self.learned_temperature
+                and (self.dropout == 0.0 or deterministic)
+            )
+            if th_fusable:
+                mix_pre = self.param(
+                    "mix_heads_pre", nn.initializers.normal(0.02),
+                    (self.heads, self.heads),
+                )
+                mix_post = self.param(
+                    "mix_heads_post", nn.initializers.normal(0.02),
+                    (self.heads, self.heads),
+                )
+                out = ops.talking_heads_block(
+                    x,
+                    norm_scale,
+                    norm_bias,
+                    qkv_kernel.astype(dtype),
+                    out_kernel.astype(dtype),
+                    out_bias,
+                    mix_pre,
+                    mix_post,
+                    self.heads,
+                    scale=scale,
+                    ln_eps=self.norm_eps,
+                    residual=self.fuse_residual,
+                )
+                return out
             if reattn_fusable:
                 mix, rln_scale, rln_bias = self._reattn_params()
                 return ops.reattention_block(

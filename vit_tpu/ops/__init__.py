@@ -19,7 +19,9 @@ import jax
 from vit_tpu.ops.block_attention import fused_attention_block, xla_attention_block
 from vit_tpu.ops.reattention_block import (
     fused_reattention_block,
+    fused_talking_heads_block,
     xla_reattention_block,
+    xla_talking_heads_block,
 )
 from vit_tpu.ops.flash_attention import flash_attention, reference_attention
 from vit_tpu.ops.window_attention import (
@@ -193,6 +195,28 @@ def reattention_block(
     return fused_reattention_block(
         x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
         heads, scale=scale, ln_eps=ln_eps, reattn_eps=reattn_eps,
+        interpret=(mode == "interpret"),
+    )
+
+
+def talking_heads_block(
+    x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+    heads: int, *, scale=None, ln_eps=1e-5, residual=False,
+):
+    """Dispatching fused CaiT talking-heads block: pre/post-softmax head
+    mixes are tile-wise over the per-head score tiles in VMEM (no
+    materialized (b,h,i,j) tensor, no head-mix einsum round trips)."""
+    mode, _auto = _resolved_mode()
+    if scale is None:
+        scale = (wqkv.shape[1] // 3 // heads) ** -0.5
+    if mode == "xla":
+        return xla_talking_heads_block(
+            x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+            heads, scale, ln_eps, residual,
+        )
+    return fused_talking_heads_block(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+        heads, scale=scale, ln_eps=ln_eps, residual=residual,
         interpret=(mode == "interpret"),
     )
 

@@ -132,6 +132,231 @@ def _kernel(
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _th_kernel(
+    x_ref,          # (1, N, D)
+    ln_scale_ref,   # (1, D)
+    ln_bias_ref,    # (1, D)
+    wqkv_ref,       # (D, 3*H*Dh)
+    wout_ref,       # (H*Dh, D)
+    bout_ref,       # (1, D)
+    pre_ref,        # (H, H) pre-softmax head mix
+    post_ref,       # (H, H) post-softmax head mix
+    o_ref,          # (1, N, D)
+    *,
+    heads: int,
+    d: int,
+    scale: float,
+    ln_eps: float,
+    residual: bool,
+    true_n: int,
+):
+    """CaiT talking-heads block (cait.py:87-107): scores -> pre-softmax
+    head mix -> softmax -> post-softmax head mix -> PV, the mixes tile-wise
+    over per-head score tiles in VMEM. Padded key columns are masked AFTER
+    the pre-mix (mixing -1e30 placeholders through signed weights would
+    corrupt them) and carry zero mass through the post-mix."""
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if wqkv_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    hd = heads * d
+    n = x_ref.shape[1]
+    x = x_ref[0]
+    xn = _ln_f32(
+        x.astype(jnp.float32),
+        ln_scale_ref[0].astype(jnp.float32),
+        ln_bias_ref[0].astype(jnp.float32),
+        ln_eps,
+    ).astype(wqkv_ref.dtype)
+
+    qkv = jax.lax.dot(
+        xn, wqkv_ref[:], preferred_element_type=jnp.float32, precision=precision
+    ).astype(wqkv_ref.dtype)
+
+    ss = []
+    for h in range(heads):
+        q = qkv[:, h * d : (h + 1) * d]
+        k = qkv[:, hd + h * d : hd + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ss.append(s * scale)
+
+    pre = pre_ref[...].astype(jnp.float32)
+    post = post_ref[...].astype(jnp.float32)
+    mixed = [sum(pre[h, g] * ss[h] for h in range(heads)) for g in range(heads)]
+
+    if true_n != n:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        col_valid = col_ids < true_n
+        mixed = [jnp.where(col_valid, s, -1e30) for s in mixed]
+
+    ps = []
+    for s in mixed:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
+
+    outs = []
+    for g in range(heads):
+        pg = sum(post[h, g] * ps[h] for h in range(heads))
+        v = qkv[:, 2 * hd + g * d : 2 * hd + (g + 1) * d]
+        outs.append(
+            jax.lax.dot(
+                pg.astype(v.dtype), v,
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(wout_ref.dtype)
+        )
+    attn_out = jnp.concatenate(outs, axis=-1)
+
+    out = jax.lax.dot(
+        attn_out, wout_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
+    out += bout_ref[0].astype(jnp.float32)
+    if residual:
+        out += x.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "scale", "ln_eps", "residual", "interpret"),
+)
+def _talking_heads_block_impl(
+    x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+    heads, scale, ln_eps, residual, interpret,
+):
+    b, true_n, dim = x.shape
+    three_hd = wqkv.shape[1]
+    hd = three_hd // 3
+    d = hd // heads
+
+    sublanes = 16 if x.dtype.itemsize < 4 else 8
+    n = (true_n + sublanes - 1) // sublanes * sublanes
+    if n != true_n:
+        x = jnp.pad(x, ((0, 0), (0, n - true_n), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _th_kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps,
+            residual=residual, true_n=true_n,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, three_hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, dim),
+        ln_bias.reshape(1, dim),
+        wqkv,
+        wout,
+        bout.reshape(1, dim),
+        mix_pre,
+        mix_post,
+    )
+    return out[:, :true_n] if n != true_n else out
+
+
+def xla_talking_heads_block(
+    x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+    heads, scale, ln_eps=1e-5, residual=False,
+):
+    """Plain-XLA equivalent (cait.py:87-107 semantics)."""
+    b, n, dim = x.shape
+    hd = wqkv.shape[1] // 3
+    d = hd // heads
+    xn = _ln_f32(
+        x.astype(jnp.float32), ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32), ln_eps,
+    ).astype(wqkv.dtype)
+    qkv = jnp.einsum("bnd,df->bnf", xn, wqkv, preferred_element_type=jnp.float32)
+    qkv = qkv.astype(wqkv.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+    s = jnp.einsum("bhij,hg->bgij", s, mix_pre.astype(s.dtype))
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.einsum("bhij,hg->bgij", p, mix_post.astype(p.dtype))
+    o = jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, hd).astype(wout.dtype)
+    out = jnp.einsum("bnf,fd->bnd", o, wout, preferred_element_type=jnp.float32)
+    out = out + bout.astype(jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _th_ad(x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+           heads, scale, ln_eps, residual, interpret):
+    return _talking_heads_block_impl(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+        heads, scale, ln_eps, residual, interpret,
+    )
+
+
+def _th_fwd(x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+            heads, scale, ln_eps, residual, interpret):
+    out = _talking_heads_block_impl(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+        heads, scale, ln_eps, residual, interpret,
+    )
+    return out, (x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post)
+
+
+def _th_bwd(heads, scale, ln_eps, residual, interpret, res, g):
+    def f(*diff_args):
+        return xla_talking_heads_block(
+            *diff_args, heads, scale, ln_eps, residual
+        )
+
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+_th_ad.defvjp(_th_fwd, _th_bwd)
+
+
+def fused_talking_heads_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wqkv: jax.Array,
+    wout: jax.Array,
+    bout: jax.Array,
+    mix_pre: jax.Array,
+    mix_post: jax.Array,
+    heads: int,
+    *,
+    scale: Optional[float] = None,
+    ln_eps: float = 1e-5,
+    residual: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """``out_proj(talking_heads_attention(qkv_proj(LN(x))))`` in one kernel
+    (+x if ``residual``). Differentiable (XLA-recompute backward)."""
+    if scale is None:
+        scale = (wqkv.shape[1] // 3 // heads) ** -0.5
+    return _th_ad(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+        heads, float(scale), ln_eps, residual, interpret,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("heads", "scale", "ln_eps", "reattn_eps", "interpret")
 )
