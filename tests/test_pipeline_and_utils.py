@@ -186,3 +186,39 @@ class TestJpegDecode:
         logits = classify_jpegs(pipe, jpegs, decoder=JpegDecoder(size=48))
         assert logits.shape == (3, 10)
         assert np.isfinite(logits).all()
+
+
+def test_classify_jpeg_stream_matches_batchwise():
+    """Streaming loop (decode k+1 overlapping device batch k) must produce
+    the same logits, in order, as per-batch classify_jpegs."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+    from vit_tpu.data import JpegDecoder, classify_jpeg_stream, classify_jpegs
+    from vit_tpu.models import ViT
+    from vit_tpu.pipeline import InferencePipeline
+
+    rng = np.random.default_rng(0)
+    def jpeg(i):
+        buf = io.BytesIO()
+        Image.fromarray((rng.random((40, 52, 3)) * 255).astype(np.uint8)).save(
+            buf, format="JPEG")
+        return buf.getvalue()
+
+    batches = [[jpeg(i) for i in range(3)], [jpeg(i) for i in range(2)]]
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=32, depth=1,
+                heads=2, mlp_dim=64, dim_head=16)
+    import jax
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3))))()
+    pipe = InferencePipeline(model, variables, image_size=32, batch_size=2,
+                             dtype=jnp.float32)
+    dec = JpegDecoder(size=36)
+    streamed = list(classify_jpeg_stream(pipe, batches, decoder=dec))
+    assert len(streamed) == 2
+    for got, jpegs in zip(streamed, batches):
+        ref = classify_jpegs(pipe, jpegs, decoder=dec)
+        np.testing.assert_allclose(got, ref, atol=1e-5)

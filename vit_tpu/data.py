@@ -16,7 +16,7 @@ import ctypes
 import io
 import os
 import subprocess
-from typing import List, Optional, Sequence
+from typing import Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -137,3 +137,31 @@ def classify_jpegs(pipeline, jpegs: List[bytes], *, decoder: Optional[JpegDecode
     """
     decoder = decoder or JpegDecoder()
     return pipeline(decoder(jpegs))
+
+
+def classify_jpeg_stream(
+    pipeline,
+    batches: Iterable[List[bytes]],
+    *,
+    decoder: Optional[JpegDecoder] = None,
+) -> Iterator[np.ndarray]:
+    """Streaming serving loop: decode batch k+1 on the host while the TPU
+    runs batch k.
+
+    JAX dispatch is asynchronous, so submitting the device work and then
+    decoding the next batch overlaps the two naturally; the one-batch
+    lookahead keeps exactly one undelivered device result in flight
+    (bounded memory). With the GIL-free native decoder the host side truly
+    runs while the device computes. Yields one logits array per input
+    batch, in order.
+    """
+    decoder = decoder or JpegDecoder()
+    pending = None  # in-flight device chunks of the previous batch
+    for jpegs in batches:
+        raw = decoder(jpegs)             # host decode (overlaps device work)
+        if pending is not None:
+            # wait for + deliver batch k-1
+            yield np.concatenate([np.asarray(p) for p in pending], axis=0)
+        pending = pipeline.dispatch(raw)  # async dispatch of batch k
+    if pending is not None:
+        yield np.concatenate([np.asarray(p) for p in pending], axis=0)

@@ -103,16 +103,25 @@ class InferencePipeline:
         else:
             self._fn = jax.jit(run)
 
-    def __call__(self, raw_images: np.ndarray) -> np.ndarray:
-        """Classify a host batch of any size; pads to the compiled batch."""
+    def dispatch(self, raw_images: np.ndarray):
+        """Asynchronously dispatch a host batch; returns the list of
+        in-flight device arrays (one per compiled-batch chunk) without
+        blocking — the streaming serving loop (``data.classify_jpeg_stream``)
+        decodes the next batch while these compute."""
         n = raw_images.shape[0]
         bs = self.batch_size
-        outs = []
+        pending = []
         for start in range(0, n, bs):
             chunk = raw_images[start : start + bs]
             pad = bs - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
             logits = self._fn(self.variables, jnp.asarray(chunk))
-            outs.append(np.asarray(logits[: bs - pad if pad else bs]))
-        return np.concatenate(outs, axis=0)
+            pending.append(logits[: bs - pad if pad else bs])
+        return pending
+
+    def __call__(self, raw_images: np.ndarray) -> np.ndarray:
+        """Classify a host batch of any size; pads to the compiled batch."""
+        return np.concatenate(
+            [np.asarray(p) for p in self.dispatch(raw_images)], axis=0
+        )
