@@ -43,6 +43,24 @@ def timed_throughput(fn, *args, iters=ITERS, batch=BATCH):
     return batch / dt, dt
 
 
+def timed_latency(fn, *args, iters=ITERS):
+    """Per-iteration latencies with a per-iteration host sync.
+
+    Unlike ``timed_throughput`` (pipelined; total/iters is a *mean*), each
+    dispatch here is fenced individually so the samples are real and a
+    percentile is meaningful. The per-dispatch tunnel round-trip (~1.1 ms,
+    PERFORMANCE.md) is included in every sample.
+    Returns (p50_seconds, p90_seconds)."""
+    np.asarray(fn(*args))  # compile + warm
+    np.asarray(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.percentile(ts, 50)), float(np.percentile(ts, 90))
+
+
 def main():
     from vit_tpu.models import ViT
     from vit_tpu.utils import fp64_vit_forward, import_reference_vit_params, max_logit_err
@@ -68,7 +86,12 @@ def main():
     our_params = import_reference_vit_params(ref_params, CFG["depth"])
     img_bf16 = img.astype(jnp.bfloat16)
     our_apply = jax.jit(lambda p, x: our_model.apply(p, x))
-    our_ips, our_lat = timed_throughput(our_apply, our_params, img_bf16)
+    our_ips, _ = timed_throughput(our_apply, our_params, img_bf16)
+    our_p50, our_p90 = timed_latency(our_apply, our_params, img_bf16)
+    # small-batch serving latency (BASELINE.md names p50 latency; batch-128
+    # alone hides the small-batch dispatch floor)
+    b1_p50, _ = timed_latency(our_apply, our_params, img_bf16[:1])
+    b8_p50, _ = timed_latency(our_apply, our_params, img_bf16[:8])
 
     # --- parity on a small slice, calibrated per PARITY.md: the jitted
     # reference's own execution noise (same weights+inputs, recompiled at
@@ -99,7 +122,11 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(our_ips / ref_ips, 3),
         "baseline_images_per_sec": round(ref_ips, 2),
-        "p50_batch_latency_ms": round(our_lat * 1e3, 2),
+        # true percentiles over individually-fenced iterations (not a mean)
+        "p50_batch_latency_ms": round(our_p50 * 1e3, 2),
+        "p90_batch_latency_ms": round(our_p90 * 1e3, 2),
+        "p50_batch1_latency_ms": round(b1_p50 * 1e3, 2),
+        "p50_batch8_latency_ms": round(b8_p50 * 1e3, 2),
         "baseline_latency_ms": round(ref_lat * 1e3, 2),
         "max_logit_err_vs_reference": round(max_err, 5),
         "mixed_precision_images_per_sec": round(mixed_ips, 2),

@@ -191,6 +191,43 @@ class TestDispatcherPaths:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-3)
 
 
+class TestFlashVmemGuard:
+    def test_zoo_shapes_fit(self):
+        # every shape the zoo actually routes to flash must pass the guard
+        from vit_tpu.ops import _flash_vmem_fits
+
+        for b, h, nq, nk, d, dv in [
+            (128, 16, 197, 197, 64, 64),   # ViT-L
+            (128, 1, 3136, 3136, 64, 64),  # T2T tokenizer stage
+            (128, 4, 4096, 1024, 64, 64),  # CvT stage 1
+            (16, 4, 785, 785, 32, 32),     # RegionViT quirks windows
+        ]:
+            assert _flash_vmem_fits((b, h, nq, d), (b, h, nk, d), (b, h, nk, dv), False, 2)
+
+    def test_oversized_kv_rejected(self):
+        # adversarial long-kv x wide-dv shapes must reroute, not Mosaic-fail
+        from vit_tpu.ops import _flash_vmem_fits
+
+        assert not _flash_vmem_fits(
+            (1, 1, 256, 128), (1, 1, 40960, 128), (1, 1, 40960, 512), False, 2
+        )
+        # a huge bias tile alone can bust the budget
+        assert not _flash_vmem_fits(
+            (1, 1, 4096, 64), (1, 1, 16384, 64), (1, 1, 16384, 64), True, 2
+        )
+
+    def test_oversized_call_falls_back_to_xla(self):
+        # end-to-end: in auto mode the dispatcher must return (XLA path)
+        # instead of attempting an unbuildable kernel.
+        from vit_tpu import ops
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 256, 128), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 20480, 128), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 20480, 512), jnp.bfloat16)
+        out = ops.attention(q, k, v)
+        assert out.shape == (1, 1, 256, 512)
+
+
 class TestCustomVJP:
     def test_qkv_attention_grads_match_xla(self):
         from vit_tpu.ops.qkv_attention import fused_qkv_attention, xla_qkv_attention

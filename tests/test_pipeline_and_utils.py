@@ -119,10 +119,13 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 0
 
 
-def test_registry_covers_all_17_families():
+def test_registry_covers_all_18_families():
+    # 17 reference model families + the dependency-injected shell
+    # (efficient.py), all constructible from the registry.
     from vit_tpu.models import MODEL_REGISTRY
 
-    assert len(MODEL_REGISTRY) == 17
+    assert len(MODEL_REGISTRY) == 18
+    assert "efficient" in MODEL_REGISTRY
 
 
 import pytest

@@ -24,6 +24,7 @@ from vit_tpu.models.t2t import T2TViT
 from vit_tpu.models.twins_svt import TwinsSVT
 from vit_tpu.models.vit import ViT
 from vit_tpu.models.vit_small_datasets import ViTSmallDatasets
+from vit_tpu.nn.blocks import Transformer as _Transformer
 from vit_tpu.nn.embed import SPT, PatchMerger
 
 __all__ = [
@@ -159,6 +160,15 @@ MODEL_REGISTRY = {
         T2TViT,
         dict(image_size=64, num_classes=10, dim=64, depth=1, heads=2, mlp_dim=128,
              t2t_layers=((7, 4), (3, 2), (3, 2))),
+        64,
+    ),
+    # The dependency-injected shell (reference efficient.py:15-59, fixed —
+    # bug register #1). Any encoder callable plugs in; the smoke config
+    # injects a small vanilla Transformer.
+    "efficient": (
+        EfficientViT,
+        dict(image_size=64, patch_size=16, num_classes=10, dim=64,
+             transformer=_Transformer(dim=64, depth=2, heads=4, dim_head=16, mlp_dim=128)),
         64,
     ),
 }

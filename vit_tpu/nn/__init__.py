@@ -4,7 +4,7 @@ from vit_tpu.nn.bias import (  # noqa: F401
     LeViTAttentionBias,
     WindowRelPosBias,
 )
-from vit_tpu.nn.blocks import FeedForward, LayerScale, Transformer  # noqa: F401
+from vit_tpu.nn.blocks import FeedForward, Transformer  # noqa: F401
 from vit_tpu.nn.conv import (  # noqa: F401
     Aggregate,
     ConvMLP,

@@ -171,31 +171,6 @@ def scan_unroll_for(depth: int) -> int:
     return depth if depth <= 8 else 1
 
 
-class LayerScale(nn.Module):
-    """CaiT LayerScale: learned per-channel residual gain (cait.py:32-49).
-
-    The reference's scale is a frozen ``jnp.full`` constant (bug register
-    #6); here it is a learned parameter initialized to the paper's
-    depth-banded epsilon: 0.1 for depth<=18, 1e-5 for <=24, 1e-6 beyond.
-    """
-
-    dim: int
-    depth: int
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        if self.depth <= 18:
-            init_eps = 0.1
-        elif self.depth <= 24:
-            init_eps = 1e-5
-        else:
-            init_eps = 1e-6
-        scale = self.param(
-            "scale", lambda rng, shape: jnp.full(shape, init_eps, jnp.float32), (self.dim,)
-        )
-        return x * scale.astype(x.dtype)
-
-
 class EncoderBlock(nn.Module):
     """One pre-norm residual block: attention + feed-forward. The scan cell
     the encoder stacks (one compiled block regardless of depth) — returns
@@ -239,9 +214,10 @@ class Transformer(nn.Module):
 
     Covers the vanilla stack (vit.py:89-112), DeepViT (reattention),
     ParallelViT (``parallel_branches`` summed branches per depth,
-    parallel_vit.py:99-107), CaiT patch/class stages (``layer_scale`` +
-    in-graph stochastic ``layer_dropout``), and LSA (``mask_self`` +
-    learned temperature).
+    parallel_vit.py:99-107), in-graph stochastic ``layer_dropout``
+    (replacing cait.py:16-30's host-side structural dropout), and LSA
+    (``mask_self`` + learned temperature). CaiT's LayerScale-gated blocks
+    live in models/cait.py (model-depth epsilon banding, paper §3).
 
     ``scan=True`` (default for homogeneous stacks without context/branch/
     layer-scale hooks) rolls the depth into ``nn.scan`` so XLA traces and
@@ -267,7 +243,6 @@ class Transformer(nn.Module):
     mask_self: bool = False
     learned_temperature: bool = False
     talking_heads: bool = False
-    layer_scale: bool = False
     layer_dropout: float = 0.0
     parallel_branches: int = 1
     final_norm: bool = False
@@ -287,7 +262,6 @@ class Transformer(nn.Module):
             self.scan
             and context is None
             and not self.talking_heads
-            and not self.layer_scale
             and self.layer_dropout == 0.0
             and self.parallel_branches == 1
             and self.depth > 1
@@ -343,8 +317,6 @@ class Transformer(nn.Module):
         )
 
         def residual(x, delta, layer_idx, kind):
-            if self.layer_scale:
-                delta = LayerScale(self.dim, layer_idx + 1, name=f"ls_{kind}_{layer_idx}")(delta)
             if self.layer_dropout > 0.0 and not deterministic:
                 # In-graph stochastic depth: per-sample bernoulli gate
                 # (replaces the reference's fixed-key structural dropout,

@@ -126,6 +126,25 @@ def _block_kernel_wins(n: int) -> bool:
     return (n % 16 == 0 and n >= _MIN_BLOCK_SEQ) or n >= 128
 
 
+def _flash_vmem_fits(q_shape, k_shape, v_shape, has_bias, itemsize, block_q=256):
+    """Scoped-VMEM estimate for the flash kernel's per-program working set.
+
+    The kernel holds one Q tile plus ALL of K/V for one (b, h) in VMEM
+    (flash_attention.py:15-22) — fine for the zoo's <=3.2k-token shapes,
+    but an adversarial call (long kv x wide dv) would Mosaic-fail rather
+    than compile. Auto mode reroutes such shapes to the XLA fallback;
+    explicit ``pallas`` mode is still honored unconditionally."""
+    nq, d = q_shape[2], q_shape[3]
+    nk, dv = k_shape[2], v_shape[3]
+    bq = min(block_q, (nq + 127) // 128 * 128)
+    nk_pad = (nk + 127) // 128 * 128
+    est = 2 * (bq * d + nk_pad * d + nk_pad * dv + bq * dv) * itemsize
+    est += bq * nk_pad * 4  # fp32 score tile
+    if has_bias:
+        est += 2 * bq * nk_pad * 4
+    return est <= 12 * 1024 * 1024
+
+
 def attention(
     q,
     k,
@@ -149,7 +168,12 @@ def attention(
     # Precision.HIGHEST there (a deliberate fidelity choice) which runs
     # 3-pass bf16 — measured in-model cvt 0.99x -> 0.88x, levit 1.11x ->
     # 0.69x when fp32 streams were routed to flash.
-    use_flash = q.dtype.itemsize < 4 and nq_ >= 128 and nk_ >= 128
+    use_flash = (
+        q.dtype.itemsize < 4
+        and nq_ >= 128
+        and nk_ >= 128
+        and _flash_vmem_fits(q.shape, k.shape, v.shape, bias is not None, q.dtype.itemsize)
+    )
     if mode == "xla" or (auto and mode == "pallas" and not use_flash):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     return flash_attention(
