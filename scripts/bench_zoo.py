@@ -123,13 +123,21 @@ def make_ref_runner(module_name, cls_name, cfg, img, *, mutable=(), shims=()):
     return run
 
 
-def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False, dtype="default"):
+def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False, dtype="default",
+                     fold_bn=False):
     batch = img.shape[0]
     def run():
         model = cls(**cfg, dtype=(DTYPE if dtype == "default" else dtype))
         params = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(1)}, img[:1]))()
-        if mutable:
-            fn = jax.jit(lambda p, x: model.apply(p, x, mutable=list(mutable))[0])
+        use_mutable = mutable
+        if fold_bn:
+            # Inference transform: BNs folded into their convs at load time
+            # (utils/bn_folding.py) — the op disappears from the graph.
+            from vit_tpu.utils import fold_batch_norm
+            model, params = fold_batch_norm(model, jax.device_get(params))
+            use_mutable = ()
+        if use_mutable:
+            fn = jax.jit(lambda p, x: model.apply(p, x, mutable=list(use_mutable))[0])
         else:
             fn = jax.jit(lambda p, x: model.apply(p, x))
         if tuple_out:
@@ -217,7 +225,7 @@ def main():
         ("cvt",
          make_ref_runner("cvt", "CvT", dict(num_classes=1000, dropout=0.0), img(256),
                          mutable=("batch_stats",)),
-         make_ours_runner(M.CvT, dict(num_classes=1000), img(256), mutable=("batch_stats",), dtype=None)),
+         make_ours_runner(M.CvT, dict(num_classes=1000), img(256), dtype=None, fold_bn=True)),
         ("levit",
          make_ref_runner("levit", "LeViT",
                          dict(image_size=224, num_classes=1000, stages=3, dim=(256, 384, 512),
@@ -226,7 +234,7 @@ def main():
          make_ours_runner(M.LeViT,
                           dict(image_size=224, num_classes=1000, stages=3, dim=(256, 384, 512),
                                depth=4, heads=(4, 6, 8), mlp_mult=2),
-                          img(224), mutable=("batch_stats",), dtype=None)),
+                          img(224), dtype=None, fold_bn=True)),
         ("nest",
          make_ref_runner("nest", "NesT",
                          dict(image_size=224, patch_size=4, dim=96, heads=3,

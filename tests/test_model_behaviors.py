@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vit_tpu.models import CaiT, CrossFormer, LeViT, PiT
+from vit_tpu.models import CaiT, CrossFormer, CvT, LeViT, PiT
 
 
 def test_levit_batchnorm_state_and_distill():
@@ -31,6 +31,56 @@ def test_levit_batchnorm_state_and_distill():
     out1, _ = model.apply(variables, img)
     out2, _ = model.apply(variables, img)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def _randomize_bn_stats(variables, key):
+    """init() leaves BN stats at (mean=0, var=1) — perturb them so the fold
+    actually has something nontrivial to fold."""
+    import flax.core
+
+    def go(path, leaf):
+        k = jax.random.fold_in(key, hash(path) % (2**31))
+        if path[-1] == "mean":
+            return jax.random.normal(k, leaf.shape) * 0.3
+        return jnp.exp(jax.random.normal(k, leaf.shape) * 0.3)  # var > 0
+
+    stats = jax.tree_util.tree_map_with_path(
+        lambda p, l: go(tuple(str(x) for x in p), l), variables["batch_stats"]
+    )
+    return {**variables, "batch_stats": stats}
+
+
+def test_bn_folding_cvt_matches_unfolded():
+    from vit_tpu.utils import fold_batch_norm
+
+    model = CvT(num_classes=10, s1_emb_dim=16, s1_depth=1, s2_emb_dim=32,
+                s2_depth=1, s3_emb_dim=32, s3_depth=1, s3_heads=2)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    variables = _randomize_bn_stats(variables, jax.random.PRNGKey(7))
+    ref = model.apply(variables, img)
+
+    folded_model, folded_vars = fold_batch_norm(model, variables)
+    assert "batch_stats" not in folded_vars
+    assert not any("bn" in str(p) for p in jax.tree_util.tree_leaves_with_path(
+        folded_vars["params"]) for p in [p[0]])
+    out = folded_model.apply(folded_vars, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_bn_folding_levit_matches_unfolded():
+    from vit_tpu.utils import fold_batch_norm
+
+    model = LeViT(image_size=64, num_classes=10, stages=2, dim=(32, 32), depth=1,
+                  heads=(1, 2), mlp_mult=2, dim_key=16, dim_value=16)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    variables = _randomize_bn_stats(variables, jax.random.PRNGKey(8))
+    ref = model.apply(variables, img)
+
+    folded_model, folded_vars = fold_batch_norm(model, variables)
+    out = folded_model.apply(folded_vars, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
 def test_crossformer_variable_resolution():

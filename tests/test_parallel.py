@@ -138,6 +138,75 @@ def test_shard_map_train_step_kernels_on():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def _assert_dp_tp_roundtrip(model, state, img, labels, mesh, *, fwd_tol=1e-4):
+    """Shared dp x tp assertions (VERDICT r2 item 6): the train step's HLO
+    carries cross-device reduction, and the sharded forward matches the
+    same params gathered onto one device."""
+    step = make_train_step(model)
+    imgs_s, labels_s = shard_batch(img, mesh), shard_batch(labels, mesh)
+    hlo = step.lower(state, imgs_s, labels_s).compile().as_text()
+    assert "all-reduce" in hlo, "no all-reduce/psum in the dp x tp train step HLO"
+
+    new_state, loss = step(state, imgs_s, labels_s)
+    assert bool(jnp.isfinite(loss)), float(loss)
+
+    variables = {"params": state.params, **state.model_state}
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    logits_sharded = jax.device_get(fwd(variables, imgs_s))
+    logits_single = jax.device_get(fwd(jax.device_get(variables), jax.device_get(img)))
+    err = float(np.max(np.abs(logits_sharded - logits_single)))
+    assert err <= fwd_tol, f"sharded-vs-single forward mismatch: {err}"
+    return new_state
+
+
+def test_dp_tp_crossformer():
+    """TP beyond ViT: a window family. qkv/w1/w2 shardings land on the
+    staged window-attention params and the dp x tp step communicates."""
+    from vit_tpu.models import CrossFormer
+
+    model = CrossFormer(num_classes=10, dim=(32, 64), depth=(1, 1),
+                        global_window_size=(4, 2), local_window_size=7,
+                        cross_embed_kernel_sizes=((4, 8), (2, 4)),
+                        cross_embed_strides=(4, 2))
+    img = jax.random.normal(jax.random.PRNGKey(0), (8, 112, 112, 3))
+    labels = jnp.arange(8) % 10
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = create_train_state(model, jax.random.PRNGKey(1), img[:1], mesh=mesh)
+
+    sda = state.params["stage_0"]["sda"]
+    assert "model" in str(sda["qkv_kernel"].sharding.spec)
+    assert "model" in str(sda["out_kernel"].sharding.spec)
+    assert "model" in str(state.params["stage_0"]["mlp1"]["ff"]["w2"].sharding.spec)
+
+    _assert_dp_tp_roundtrip(model, state, img, labels, mesh)
+
+
+def test_dp_tp_cvt_with_batchnorm_state():
+    """TP beyond ViT: a BN model. The conv-projection attention's pointwise
+    kernels shard over heads, batch_stats thread (replicated) through the
+    GSPMD step, and sharded-vs-single logits agree."""
+    from vit_tpu.models import CvT
+
+    model = CvT(num_classes=10, s1_emb_dim=16, s1_depth=1, s2_emb_dim=32,
+                s2_depth=1, s3_emb_dim=32, s3_depth=1, s3_heads=2)
+    img = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 10
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = create_train_state(model, jax.random.PRNGKey(1), img[:1], mesh=mesh)
+    assert "batch_stats" in state.model_state
+
+    attn = state.params["attn_3_0"]
+    assert "model" in str(attn["to_q"]["pointwise"]["kernel"].sharding.spec)
+    assert "model" in str(attn["to_kv"]["pointwise"]["kernel"].sharding.spec)
+    assert "model" in str(attn["to_out"]["kernel"].sharding.spec)
+
+    before = jax.tree.leaves(jax.device_get(state.model_state["batch_stats"]))
+    new_state = _assert_dp_tp_roundtrip(model, state, img, labels, mesh)
+    after = jax.tree.leaves(jax.device_get(new_state.model_state["batch_stats"]))
+    assert any(not np.allclose(a, b) for a, b in zip(before, after)), \
+        "batch_stats did not update through the sharded step"
+
+
 def test_gspmd_train_step_with_dropout_and_remat():
     """Regression: nn.remat static_argnums counts `self` as 0 — marking
     index 1 froze the scan carry and left `deterministic` traced, crashing

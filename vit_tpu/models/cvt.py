@@ -29,6 +29,7 @@ class _ConvAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    fold_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -39,11 +40,12 @@ class _ConvAttention(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         q = DepthWiseConv2d(
             self.dim, inner, self.proj_kernel, stride=1, use_bias=False,
-            batch_norm=True, dtype=self.dtype, name="to_q",
+            batch_norm=True, fold_bn=self.fold_bn, dtype=self.dtype, name="to_q",
         )(x, train=train)
         kv = DepthWiseConv2d(
             self.dim, inner * 2, self.proj_kernel, stride=self.kv_proj_stride,
-            use_bias=False, batch_norm=True, dtype=self.dtype, name="to_kv",
+            use_bias=False, batch_norm=True, fold_bn=self.fold_bn,
+            dtype=self.dtype, name="to_kv",
         )(x, train=train)
         k, v = jnp.split(kv.reshape(b, -1, inner * 2), 2, axis=-1)
 
@@ -83,6 +85,9 @@ class CvT(nn.Module):
     s3_depth: int = 10
     s3_mlp_mult: int = 4
     dropout: float = 0.0
+    # Inference-mode graph after ``utils.fold_batch_norm``: every BN is
+    # folded into its producing depthwise conv and vanishes from the graph.
+    fold_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -103,8 +108,8 @@ class CvT(nn.Module):
             for i in range(g("depth")):
                 x = x + _ConvAttention(
                     g("emb_dim"), g("proj_kernel"), g("kv_proj_stride"),
-                    heads=g("heads"), dropout=self.dropout, dtype=self.dtype,
-                    name=f"attn_{s}_{i}",
+                    heads=g("heads"), dropout=self.dropout, fold_bn=self.fold_bn,
+                    dtype=self.dtype, name=f"attn_{s}_{i}",
                 )(x, train=train, deterministic=det)
                 x = x + ConvMLP(
                     g("emb_dim"), g("mlp_mult"), self.dropout, dtype=self.dtype,

@@ -40,10 +40,12 @@ class _LeViTAttention(nn.Module):
     dropout: float = 0.0
     dim_out: Optional[int] = None
     downsample: bool = False
+    fold_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, deterministic: bool = True) -> jax.Array:
+        assert not (self.fold_bn and train), "BN-folded models are inference-only"
         dim_out = default(self.dim_out, self.dim)
         inner_k = self.dim_key * self.heads
         inner_v = self.dim_value * self.heads
@@ -52,9 +54,11 @@ class _LeViTAttention(nn.Module):
         def conv_bn(feat, stride, name):
             def apply(t):
                 t = nn.Conv(
-                    feat, (1, 1), strides=stride, use_bias=False, dtype=self.dtype,
+                    feat, (1, 1), strides=stride, use_bias=self.fold_bn, dtype=self.dtype,
                     name=f"{name}_conv",
                 )(t)
+                if self.fold_bn:
+                    return t
                 return nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
                     dtype=self.dtype, name=f"{name}_bn",
@@ -84,10 +88,11 @@ class _LeViTAttention(nn.Module):
         )
         out = nn.gelu(out.reshape(b, q_side, q_side, inner_v))
         out = nn.Conv(dim_out, (1, 1), dtype=self.dtype, name="to_out_conv")(out)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="to_out_bn",
-        )(out)
+        if not self.fold_bn:
+            out = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="to_out_bn",
+            )(out)
         return nn.Dropout(self.dropout, name="drop")(out, deterministic=deterministic)
 
 
@@ -103,6 +108,10 @@ class LeViT(nn.Module):
     dim_value: int = 64
     dropout: float = 0.0
     num_distill_classes: Optional[int] = None
+    # Inference-mode graph after ``utils.fold_batch_norm``: every conv+BN
+    # pair collapses to a biased conv (reference can't: train-mode BN
+    # hardcoded, levit.py:79).
+    fold_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -125,7 +134,7 @@ class LeViT(nn.Module):
                 a = _LeViTAttention(
                     dim, fmap, heads=heads, dim_key=self.dim_key, dim_value=self.dim_value,
                     dropout=self.dropout, dim_out=dim_out, downsample=downsample,
-                    dtype=self.dtype, name=f"{name}_attn_{d}",
+                    fold_bn=self.fold_bn, dtype=self.dtype, name=f"{name}_attn_{d}",
                 )(x, train=train, deterministic=det)
                 x = (x + a) if attn_residual else a
                 # plain conv/hard-swish/conv MLP — no norm of any kind

@@ -21,6 +21,10 @@ class DepthWiseConv2d(nn.Module):
 
     ``batch_norm=True`` reproduces CvT's depthwise->BN->pointwise stack;
     without it, a single depthwise+pointwise pair (PiT flavor).
+    ``fold_bn=True`` is the inference-mode graph after
+    ``utils.fold_batch_norm``: the BN is folded into the depthwise conv's
+    kernel and a new bias, and the BN op disappears entirely — a transform
+    the reference cannot express (train-mode BN hardcoded, cvt.py:73).
     """
 
     dim_in: int
@@ -29,21 +33,24 @@ class DepthWiseConv2d(nn.Module):
     stride: int
     use_bias: bool = True
     batch_norm: bool = False
+    fold_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        folded = self.batch_norm and self.fold_bn
+        assert not (folded and train), "BN-folded models are inference-only"
         x = nn.Conv(
             self.dim_in,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,
             padding="SAME",
             feature_group_count=self.dim_in,
-            use_bias=self.use_bias,
+            use_bias=self.use_bias or folded,
             dtype=self.dtype,
             name="depthwise",
         )(x)
-        if self.batch_norm:
+        if self.batch_norm and not folded:
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn")(x)
         x = nn.Conv(
             self.dim_out, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name="pointwise"
@@ -185,6 +192,7 @@ class ConvMLP(nn.Module):
     activation: str = "gelu"
     pre_norm: bool = True
     batch_norm: bool = False  # LeViT flavor: BN between convs
+    fold_bn: bool = False  # inference: BNs folded into the convs (utils.fold_batch_norm)
     dim_out: Optional[int] = None
     ln_eps: float = 1e-5  # the conv-MLP reference files use eps 1e-5 norms
     dtype: Optional[jnp.dtype] = None
@@ -196,12 +204,16 @@ class ConvMLP(nn.Module):
         dim_out = self.dim_out or self.dim
         if self.batch_norm:
             # Stateful path (LeViT): conv1x1 -> BN -> act -> conv1x1 -> BN.
-            h = nn.Conv(self.dim * self.mult, (1, 1), use_bias=False, dtype=self.dtype, name="up")(x)
-            h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
+            folded = self.fold_bn
+            assert not (folded and train), "BN-folded models are inference-only"
+            h = nn.Conv(self.dim * self.mult, (1, 1), use_bias=folded, dtype=self.dtype, name="up")(x)
+            if not folded:
+                h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
             h = h * nn.relu6(h + 3.0) / 6.0  # hard-swish
             h = nn.Dropout(self.dropout, name="drop")(h, deterministic=deterministic)
-            h = nn.Conv(dim_out, (1, 1), use_bias=False, dtype=self.dtype, name="down")(h)
-            h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(h)
+            h = nn.Conv(dim_out, (1, 1), use_bias=folded, dtype=self.dtype, name="down")(h)
+            if not folded:
+                h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(h)
             return h
         b, hh, ww, c = x.shape
         tokens = x.reshape(b, hh * ww, c)

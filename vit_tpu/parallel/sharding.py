@@ -22,9 +22,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vit_tpu.parallel.mesh import MODEL_AXIS
 
-# (path regex, spec for 2-D kernels). Order matters: first match wins.
+# (path regex, spec for 2-D kernels; higher-rank kernels right-align the
+# spec, so P(None, 'model') on a 1x1-conv HWIO kernel shards the output
+# channels). Order matters: first match wins.
 DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(to_qkv|to_q|to_kv|to_k|to_v)/kernel$", P(None, MODEL_AXIS)),
+    # conv-projection attention: CvT's depthwise->pointwise q/kv stacks
+    # (models/cvt.py) — the depthwise stays replicated (per-channel over the
+    # unsharded stream), the pointwise output channels are the heads dim.
+    (r".*(to_q|to_kv|to_k|to_v)/pointwise/kernel$", P(None, MODEL_AXIS)),
+    # LeViT's conv1x1+BN projections (models/levit.py)
+    (r".*(to_q_conv|to_k_conv|to_v_conv)/kernel$", P(None, MODEL_AXIS)),
     (r".*/qkv_kernel$", P(None, MODEL_AXIS)),
     (r".*/w1$", P(None, MODEL_AXIS)),
     (r".*/b1$", P(MODEL_AXIS)),
