@@ -138,6 +138,49 @@ def test_shard_map_train_step_kernels_on():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_training_ergonomics_schedule_clip_eval():
+    """Warmup+cosine schedule, gradient clipping, and the top-1 eval step
+    (VERDICT r2 item 7) wire into the standard train step."""
+    from vit_tpu.train import (
+        make_eval_step, make_optimizer, top1_accuracy, warmup_cosine_schedule,
+    )
+
+    sched = warmup_cosine_schedule(1e-3, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9  # peak at end of warmup
+    assert float(sched(100)) < 1e-5  # cosine-decayed to ~0
+    assert abs(float(sched(5)) - 0.5e-3) < 1e-9  # linear warmup
+
+    # clipping caps the global grad norm
+    import optax
+    tx = make_optimizer(sched, grad_clip_norm=1.0)
+    params = {"w": jnp.ones((4,))}
+    big_grads = {"w": jnp.full((4,), 100.0)}
+    opt_state = tx.init(params)
+    updates, _ = tx.update(big_grads, opt_state, params)
+    assert bool(jnp.all(jnp.isfinite(updates["w"])))
+
+    # top-1 + eval step
+    logits = jnp.array([[0.1, 2.0, -1.0], [3.0, 0.0, 0.0]])
+    assert float(top1_accuracy(logits, jnp.array([1, 0]))) == 1.0
+    assert float(top1_accuracy(logits, jnp.array([0, 0]))) == 0.5
+
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    labels = jnp.arange(4) % 10
+    variables = MODEL.init({"params": jax.random.PRNGKey(1)}, img)
+    loss, top1 = make_eval_step(MODEL)(variables, img, labels)
+    assert bool(jnp.isfinite(loss)) and 0.0 <= float(top1) <= 1.0
+
+    # the full step accepts the scheduled+clipped optimizer and learns
+    state = create_train_state(MODEL, jax.random.PRNGKey(1), img[:1], optimizer=tx)
+    step = make_train_step(MODEL, optimizer=tx)
+    losses = []
+    for _ in range(4):
+        state, l = step(state, img, labels)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
+
+
 def _assert_dp_tp_roundtrip(model, state, img, labels, mesh, *, fwd_tol=1e-4):
     """Shared dp x tp assertions (VERDICT r2 item 6): the train step's HLO
     carries cross-device reduction, and the sharded forward matches the

@@ -43,8 +43,44 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
 
-def make_optimizer(learning_rate: float = 1e-3, weight_decay: float = 0.05):
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+def top1_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Fraction of rows whose argmax logit equals the label (eval metric)."""
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+
+
+def warmup_cosine_schedule(
+    base_lr: float, total_steps: int, warmup_steps: int = 0, end_lr_scale: float = 0.0
+):
+    """Linear warmup to ``base_lr`` then cosine decay to
+    ``base_lr * end_lr_scale`` — the standard ViT training schedule (the
+    reference has no training layer at all, SURVEY.md §0)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=base_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=total_steps,
+        end_value=base_lr * end_lr_scale,
+    )
+
+
+def make_optimizer(
+    learning_rate=1e-3,
+    weight_decay: float = 0.05,
+    *,
+    grad_clip_norm: float = None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+):
+    """AdamW with optional global-norm gradient clipping.
+
+    ``learning_rate`` may be a float or any optax schedule (e.g.
+    ``warmup_cosine_schedule``). ``grad_clip_norm`` prepends
+    ``optax.clip_by_global_norm`` — standard for ViT training stability.
+    """
+    tx = optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    if grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    return tx
 
 
 def create_train_state(
@@ -123,6 +159,22 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, new_state), loss
+
+    return step
+
+
+def make_eval_step(model) -> Callable:
+    """Jitted ``eval_step(variables, images, labels) -> (loss, top1)``.
+
+    ``variables`` is the full tree ({'params': ..., 'batch_stats': ...} for
+    the BN models); inference mode, deterministic."""
+
+    @jax.jit
+    def step(variables, images, labels):
+        logits = model.apply(variables, images)
+        if isinstance(logits, tuple):  # LeViT distillation head
+            logits = logits[0]
+        return cross_entropy_loss(logits, labels), top1_accuracy(logits, labels)
 
     return step
 
