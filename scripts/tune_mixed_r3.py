@@ -94,14 +94,18 @@ def isolated_blocks():
     w2 = jax.random.normal(key, (MLP, DIM), jnp.bfloat16) * 0.02
     b1, b2 = jnp.zeros((MLP,)), jnp.zeros((DIM,))
 
+    from vit_tpu.ops import fused_mlp
+
     for label, dt in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
         x = jax.random.normal(key, (B, N, DIM), dt)
         t_attn = timed(jax.jit(lambda x: ops.attention_block(
             x, ln_s, ln_b, wqkv, wout, bout, HEADS)), x)
         t_mlp = timed(jax.jit(lambda x: x + ops.mlp(
             x, w1, b1, w2, b2, ln_s, ln_b, residual=False)), x)
-        print(f"{label}-stream isolated: attn_block {t_attn:.2f} ms  mlp {t_mlp:.2f} ms",
-              flush=True)
+        t_mlp_pl = timed(jax.jit(lambda x: fused_mlp(
+            x, w1, b1, w2, b2, ln_s, ln_b, residual=True)), x)
+        print(f"{label}-stream isolated: attn_block {t_attn:.2f} ms  "
+              f"mlp-xla {t_mlp:.2f} ms  mlp-pallas {t_mlp_pl:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
