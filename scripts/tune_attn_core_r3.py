@@ -33,9 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.block_attention import _ln_f32, fused_attention_block
 
-B, TRUE_N, DIM, HEADS, D = 128, 197, 1024, 16, 64
+import os
+
+if os.environ.get("TUNE_TINY"):  # CPU interpret-mode validation shapes
+    B, TRUE_N, DIM, HEADS, D = 2, 13, 64, 4, 16
+    N = 16
+    INTERPRET = True
+else:
+    B, TRUE_N, DIM, HEADS, D = 128, 197, 1024, 16, 64
+    N = 208  # 16-row padded
+    INTERPRET = False
 HD = HEADS * D
-N = 208  # 16-row padded
 SCALE = D**-0.5
 ITERS = 20
 
@@ -158,6 +166,7 @@ def build(kernel, scratch=False):
     )
     if scratch:
         kwargs["scratch_shapes"] = [pltpu.VMEM((N, HD), jnp.bfloat16)]
+    kwargs["interpret"] = INTERPRET
     return jax.jit(lambda *a: pl.pallas_call(kernel, **kwargs)(*a))
 
 
@@ -188,7 +197,8 @@ def main():
     # shipped kernel for reference (includes its own padding logic)
     t_ship = timed(
         jax.jit(lambda x: fused_attention_block(
-            x[:, :TRUE_N], ln_s[0], ln_b[0], wqkv, wout, bout[0], HEADS)), x)
+            x[:, :TRUE_N], ln_s[0], ln_b[0], wqkv, wout, bout[0], HEADS,
+            interpret=INTERPRET)), x)
     print(f"shipped fused_attention_block: {t_ship:.2f} ms", flush=True)
 
     outs = {}
