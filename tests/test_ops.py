@@ -61,6 +61,75 @@ class TestFlashAttention:
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
+class TestFlashAttentionKVBlocked:
+    """Online-softmax kv-blocked flash (the long-context path the auto
+    dispatcher routes VMEM-oversized shapes to). Small block sizes force
+    multiple kv blocks so the running (m, l, acc) rescaling is exercised."""
+
+    def _run(self, q, k, v, bias=None, **kw):
+        from vit_tpu.ops import flash_attention_kv_blocked
+        from vit_tpu.ops.flash_attention import _flash_attention_kv_blocked_impl
+
+        # exercise the blocked path with tiny blocks regardless of shape
+        return _flash_attention_kv_blocked_impl(
+            q, k, v, bias, scale=kw.pop("scale", q.shape[-1] ** -0.5),
+            block_q=kw.pop("block_q", 128), block_k=kw.pop("block_k", 128),
+            interpret=True, **kw,
+        )
+
+    @pytest.mark.parametrize("nq,nk", [(65, 65), (130, 257), (2, 300), (197, 515)])
+    def test_matches_reference(self, nq, nk):
+        b, h, d = 2, 2, 32
+        q, k, v = rand(0, (b, h, nq, d)), rand(1, (b, h, nk, d)), rand(2, (b, h, nk, d))
+        out = self._run(q, k, v)
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_bias_and_mask(self):
+        b, h, n, d = 2, 2, 260, 32
+        q, k, v = rand(0, (b, h, n, d)), rand(1, (b, h, n, d)), rand(2, (b, h, n, d))
+        bias = rand(3, (1, h, n, n))
+        out = self._run(q, k, v, bias, mask_self=True)
+        ref = reference_attention(q, k, v, bias, mask_self=True)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_wide_dv(self):
+        b, h, nq, nk, d, dv = 1, 2, 64, 384, 32, 64
+        q, k = rand(0, (b, h, nq, d)), rand(1, (b, h, nk, d))
+        v = rand(2, (b, h, nk, dv))
+        out = self._run(q, k, v)
+        ref = reference_attention(q, k, v)
+        assert out.shape == (b, h, nq, dv)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def test_bf16(self):
+        b, h, n, d = 1, 2, 300, 32
+        q = rand(0, (b, h, n, d), jnp.bfloat16)
+        k = rand(1, (b, h, n, d), jnp.bfloat16)
+        v = rand(2, (b, h, n, d), jnp.bfloat16)
+        out = self._run(q, k, v)
+        ref = reference_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            out.astype(np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+        )
+
+    def test_grads_match_reference(self):
+        from vit_tpu.ops import flash_attention_kv_blocked
+
+        b, h, n, d = 1, 2, 140, 16
+        q, k, v = rand(0, (b, h, n, d)), rand(1, (b, h, n, d)), rand(2, (b, h, n, d))
+        gk = jax.grad(lambda *a: jnp.sum(
+            flash_attention_kv_blocked(*a, block_q=64, interpret=True) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: jnp.sum(reference_attention(*a) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
 class TestFusedQKVAttention:
     @pytest.mark.parametrize("n,heads,d", [(197, 16, 64), (64, 4, 32), (50, 2, 48)])
     def test_matches_split_path(self, n, heads, d):

@@ -23,7 +23,11 @@ from vit_tpu.ops.reattention_block import (
     xla_reattention_block,
     xla_talking_heads_block,
 )
-from vit_tpu.ops.flash_attention import flash_attention, reference_attention
+from vit_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_kv_blocked,
+    reference_attention,
+)
 from vit_tpu.ops.window_attention import (
     fused_window_attention_block,
     xla_window_attention_block,
@@ -50,6 +54,7 @@ __all__ = [
     "attention",
     "mlp",
     "flash_attention",
+    "flash_attention_kv_blocked",
     "reference_attention",
     "fused_mlp",
     "reference_mlp",
@@ -129,11 +134,11 @@ def _block_kernel_wins(n: int) -> bool:
 def _flash_vmem_fits(q_shape, k_shape, v_shape, has_bias, itemsize, block_q=256):
     """Scoped-VMEM estimate for the flash kernel's per-program working set.
 
-    The kernel holds one Q tile plus ALL of K/V for one (b, h) in VMEM
-    (flash_attention.py:15-22) — fine for the zoo's <=3.2k-token shapes,
-    but an adversarial call (long kv x wide dv) would Mosaic-fail rather
-    than compile. Auto mode reroutes such shapes to the XLA fallback;
-    explicit ``pallas`` mode is still honored unconditionally."""
+    The resident-KV kernel holds one Q tile plus ALL of K/V for one (b, h)
+    in VMEM (flash_attention.py:15-22) — fine for the zoo's <=3.2k-token
+    shapes, but a long-context call (long kv x wide dv) would Mosaic-fail
+    rather than compile. Shapes failing this estimate stream K/V through
+    the online-softmax ``flash_attention_kv_blocked`` kernel instead."""
     nq, d = q_shape[2], q_shape[3]
     nk, dv = k_shape[2], v_shape[3]
     bq = min(block_q, (nq + 127) // 128 * 128)
@@ -168,14 +173,18 @@ def attention(
     # Precision.HIGHEST there (a deliberate fidelity choice) which runs
     # 3-pass bf16 — measured in-model cvt 0.99x -> 0.88x, levit 1.11x ->
     # 0.69x when fp32 streams were routed to flash.
-    use_flash = (
-        q.dtype.itemsize < 4
-        and nq_ >= 128
-        and nk_ >= 128
-        and _flash_vmem_fits(q.shape, k.shape, v.shape, bias is not None, q.dtype.itemsize)
-    )
+    fits = _flash_vmem_fits(q.shape, k.shape, v.shape, bias is not None, q.dtype.itemsize)
+    use_flash = q.dtype.itemsize < 4 and nq_ >= 128 and nk_ >= 128
     if mode == "xla" or (auto and mode == "pallas" and not use_flash):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
+    if not fits:
+        # K/V too large to sit resident in VMEM: stream them through the
+        # online-softmax kv-blocked kernel (the long-context path) instead
+        # of failing Mosaic compile.
+        return flash_attention_kv_blocked(
+            q, k, v, bias, scale=scale, mask_self=mask_self,
+            interpret=(mode == "interpret"),
+        )
     return flash_attention(
         q, k, v, bias, scale=scale, mask_self=mask_self, interpret=(mode == "interpret")
     )

@@ -17,9 +17,11 @@ for one (batch, head) live entirely in VMEM; the grid is (batch*heads,
 q_blocks) and each program computes one Q tile against all of K/V with a
 single fused fp32 softmax. The n² score matrix only ever exists one
 (block_q, Nk) tile at a time in VMEM — the reference materializes the full
-matrix in HBM at every layer (vit.py:73-75). For longer sequences the Q-tile
-loop structure is the documented extension point for a KV-blocked online
-softmax / ring-over-ICI variant (SURVEY.md §2.3).
+matrix in HBM at every layer (vit.py:73-75). For longer sequences
+``flash_attention_kv_blocked`` (below) streams K/V one block at a time with
+the online-softmax running state — the auto dispatcher routes shapes whose
+K/V bust the VMEM budget onto it, and its kv loop is the ring dimension a
+multi-chip ring-attention would rotate over ICI (SURVEY.md §2.3).
 """
 
 from __future__ import annotations
@@ -204,6 +206,232 @@ def _flash_attention_impl(
     return out[:, :nq, :].reshape(b, h, nq, dv)
 
 
+def _kv_blocked_kernel(
+    q_ref,      # (1, block_q, d)
+    k_ref,      # (1, block_k, d)
+    v_ref,      # (1, block_k, dv)
+    bias_ref,
+    o_ref,      # (1, block_q, dv)
+    m_scratch,  # (block_q, _LANES) f32
+    l_scratch,  # (block_q, _LANES) f32
+    acc_scratch,  # (block_q, dv) f32
+    *,
+    scale: float,
+    true_nk: int,
+    block_q: int,
+    block_k: int,
+    n_kv: int,
+    mask_self: bool,
+    has_bias: bool,
+):
+    """Online-softmax flash: one (b*h, q_block) pair accumulates over the
+    sequential kv-block grid axis — K/V never need to fit VMEM at once.
+
+    This is the long-context form of the resident-KV kernel above
+    (SURVEY.md §2.3's documented extension point): the kv loop is the ring
+    dimension a multi-chip ring-attention would rotate over ICI.
+    """
+    qi, ki = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (block_q, block_k)
+    s *= scale
+    if has_bias:
+        s += bias_ref[0].astype(jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    mask = col < true_nk
+    if mask_self:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        mask = jnp.logical_and(mask, col != row)
+    s = jnp.where(mask, s, MASK_VALUE)
+
+    m_prev = m_scratch[:, :1]  # (block_q, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # rescale of the running state
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0]
+    pv = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=precision
+    )
+    acc_scratch[...] = acc_scratch[...] * alpha + pv
+    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(ki == n_kv - 1)
+    def _epilogue():
+        # l is positive: every q row sees at least one unmasked key column
+        # (true_nk >= 1; with mask_self there is always an off-diagonal
+        # column at the zoo's nk >= 2).
+        o_ref[0] = (acc_scratch[...] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "mask_self", "block_q", "block_k", "interpret"),
+)
+def _flash_attention_kv_blocked_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    mask_self: bool = False,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dv = v.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+
+    block_q = min(block_q, round_up(nq, _LANES))
+    block_k = min(block_k, round_up(nk, _LANES))
+    nq_pad = round_up(nq, block_q)
+    nk_pad = round_up(nk, block_k)
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, dv)
+    if nq_pad != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    if nk_pad != nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - nk), (0, 0)))
+
+    n_kv = cdiv(nk_pad, block_k)
+    grid = (b * h, cdiv(nq_pad, block_q), n_kv)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0), memory_space=pltpu.VMEM),
+    ]
+    has_bias = bias is not None
+    if has_bias:
+        bb, bh_, bnq, bnk = bias.shape
+        assert bnq == nq and bnk == nk, "bias must match (Nq, Nk)"
+        g = bb * bh_
+        biasf = bias.reshape(g, nq, nk).astype(jnp.float32)
+        biasf = jnp.pad(biasf, ((0, 0), (0, nq_pad - nq), (0, nk_pad - nk)))
+        if g == 1:
+            bias_index = lambda bh, qi, ki: (0, qi, ki)
+        elif bb == 1:
+            bias_index = lambda bh, qi, ki: (bh % h, qi, ki)
+        elif bh_ == 1:
+            bias_index = lambda bh, qi, ki: (bh // h, qi, ki)
+        else:
+            bias_index = lambda bh, qi, ki: (bh, qi, ki)
+        in_specs.append(
+            pl.BlockSpec((1, block_q, block_k), bias_index, memory_space=pltpu.VMEM)
+        )
+        args = (qf, kf, vf, biasf)
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args = (qf, kf, vf, jnp.zeros((1, 1), dtype=jnp.float32))
+
+    kernel = functools.partial(
+        _kv_blocked_kernel,
+        scale=float(scale),
+        true_nk=nk,
+        block_q=block_q,
+        block_k=block_k,
+        n_kv=n_kv,
+        mask_self=mask_self,
+        has_bias=has_bias,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, dv), lambda bh, qi, ki: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, dv), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * nq * nk,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:, :nq, :].reshape(b, h, nq, dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_kv_blocked_ad(q, k, v, bias, scale, mask_self, block_q, interpret):
+    return _flash_attention_kv_blocked_impl(
+        q, k, v, bias,
+        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    )
+
+
+def _flash_kv_blocked_fwd(q, k, v, bias, scale, mask_self, block_q, interpret):
+    out = _flash_attention_kv_blocked_impl(
+        q, k, v, bias,
+        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    )
+    return out, (q, k, v, bias, out)
+
+
+# the Q-chunked recompute backward is shape-agnostic — shared with the
+# resident-KV kernel (defined below)
+def _flash_kv_blocked_bwd(scale, mask_self, block_q, interpret, res, g):
+    return _flash_bwd(scale, mask_self, block_q, interpret, res, g)
+
+
+def flash_attention_kv_blocked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    mask_self: bool = False,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Online-softmax flash attention with blocked K/V.
+
+    Unlike :func:`flash_attention` (which keeps one (b, h)'s full K/V
+    resident in VMEM — the right call at the zoo's <=3.2k tokens), this
+    streams K/V one block at a time with the classic running (m, l, acc)
+    rescaling, so sequence length is bounded by HBM only. Same hooks
+    (bias, diagonal mask, cross dims), same Q-chunked recompute backward.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_kv_blocked_ad(
+        q, k, v, bias, float(scale), bool(mask_self), int(block_q), bool(interpret)
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention_ad(q, k, v, bias, scale, mask_self, block_q, interpret):
     return _flash_attention_impl(
@@ -313,6 +541,7 @@ def _flash_bwd(scale, mask_self, block_q, interpret, res, g):
 
 
 _flash_attention_ad.defvjp(_flash_fwd, _flash_bwd)
+_flash_kv_blocked_ad.defvjp(_flash_kv_blocked_fwd, _flash_kv_blocked_bwd)
 
 
 def flash_attention(
