@@ -138,6 +138,40 @@ def test_shard_map_train_step_kernels_on():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_ring_attention_matches_single_device():
+    """Sequence-parallel ring attention on the 8-device mesh: K/V rotate
+    neighbor-to-neighbor (collective-permute in the HLO, no all-gather of
+    K/V) and the result matches single-device attention."""
+    from vit_tpu.ops import reference_attention
+    from vit_tpu.parallel import ring_attention
+
+    b, h, n, d = 2, 4, 8 * 37, 32  # N divides the 8-way ring
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+    mesh = make_mesh()  # 8-way on the data axis
+
+    out = ring_attention(q, k, v, mesh)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_ring_attention_collective_is_permute_only():
+    from vit_tpu.parallel import ring_attention
+
+    mesh = make_mesh()
+    b, h, n, d = 1, 2, 8 * 16, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+
+    hlo = jax.jit(
+        lambda q, k, v: ring_attention(q, k, v, mesh)
+    ).lower(q, k, v).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+
+
 def test_training_ergonomics_schedule_clip_eval():
     """Warmup+cosine schedule, gradient clipping, and the top-1 eval step
     (VERDICT r2 item 7) wire into the standard train step."""

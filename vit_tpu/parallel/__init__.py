@@ -1,4 +1,5 @@
 from vit_tpu.parallel.api import data_parallel_apply  # noqa: F401
+from vit_tpu.parallel.ring_attention import ring_attention  # noqa: F401
 from vit_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
