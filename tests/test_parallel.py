@@ -156,6 +156,26 @@ def test_ring_attention_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_ring_attention_differentiable():
+    """The ring is a lax.scan over ppermute steps, so jax.grad works —
+    sequence-parallel attention can sit inside a train step."""
+    from vit_tpu.ops import reference_attention
+    from vit_tpu.parallel import ring_attention
+
+    b, h, n, d = 1, 2, 8 * 8, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+    mesh = make_mesh()
+
+    g_ring = jax.grad(lambda q, k, v: jnp.sum(ring_attention(q, k, v, mesh) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(reference_attention(q, k, v) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5)
+
+
 def test_ring_attention_collective_is_permute_only():
     from vit_tpu.parallel import ring_attention
 

@@ -81,7 +81,7 @@ def ring_attention(
         # i this device holds the K/V shard that started i hops behind it.
         perm = [(j, (j + 1) % p_devices) for j in range(p_devices)]
 
-        def body(_, carry):
+        def body(carry, _):
             m, l, acc, k_blk, v_blk = carry
             m_i, l_i, pv_i = _local_pass(q_loc, k_blk, v_blk, scale)
             m_new = jnp.maximum(m, m_i)
@@ -91,7 +91,7 @@ def ring_attention(
             acc = acc * a_old[..., None] + pv_i * a_new[..., None]
             k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
             v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-            return m_new, l, acc, k_blk, v_blk
+            return (m_new, l, acc, k_blk, v_blk), None
 
         b, h, nq_loc, _ = q_loc.shape
         dv = v_loc.shape[-1]
@@ -102,7 +102,10 @@ def ring_attention(
             k_loc,
             v_loc,
         )
-        m, l, acc, _, _ = jax.lax.fori_loop(0, p_devices, body, carry)
+        # lax.scan (not fori_loop) so the ring is reverse-differentiable —
+        # the backward replays the rotation in reverse via the transposed
+        # permutation XLA derives from ppermute.
+        (m, l, acc, _, _), _ = jax.lax.scan(body, carry, None, length=p_devices)
         return (acc / l[..., None]).astype(v_loc.dtype)
 
     seq_spec = P(None, None, axis_name, None)
