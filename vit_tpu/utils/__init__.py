@@ -6,5 +6,10 @@ from vit_tpu.utils.importer import (  # noqa: F401
 )
 from vit_tpu.utils.bn_folding import fold_batch_norm  # noqa: F401
 from vit_tpu.utils.debug import checked, debug_nans, kernel_sanitizer  # noqa: F401
-from vit_tpu.utils.health import memory_stats, probe_devices, with_retry  # noqa: F401
+from vit_tpu.utils.health import (  # noqa: F401
+    enable_compilation_cache,
+    memory_stats,
+    probe_devices,
+    with_retry,
+)
 from vit_tpu.utils.parity import fp64_vit_forward, max_logit_err  # noqa: F401
