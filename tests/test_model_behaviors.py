@@ -83,6 +83,34 @@ def test_bn_folding_levit_matches_unfolded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_pos_embedding_resolution_transfer():
+    """A ViT trained at one resolution runs at another by interpolating its
+    learned position table (utils.pos_embed) — a transform the reference
+    cannot express (pos_embedding locked to init shape, vit.py:142)."""
+    from vit_tpu.models import ViT
+    from vit_tpu.utils import adapt_vit_resolution, interpolate_pos_embedding
+
+    m64 = ViT(image_size=64, patch_size=16, num_classes=10, dim=32, depth=1,
+              heads=2, mlp_dim=64, dim_head=16)
+    img64 = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    v64 = m64.init({"params": jax.random.PRNGKey(1)}, img64)
+
+    # identity at the same grid
+    same = interpolate_pos_embedding(v64["params"]["pos_embedding"], (4, 4))
+    np.testing.assert_allclose(np.asarray(same),
+                               np.asarray(v64["params"]["pos_embedding"]), atol=1e-6)
+
+    # transfer 64 -> 96 (grid 4x4 -> 6x6) and run
+    p96 = adapt_vit_resolution(v64["params"], image_size=96, patch_size=16)
+    assert p96["pos_embedding"].shape == (1, 1 + 36, 32)
+    m96 = ViT(image_size=96, patch_size=16, num_classes=10, dim=32, depth=1,
+              heads=2, mlp_dim=64, dim_head=16)
+    img96 = jax.random.normal(jax.random.PRNGKey(2), (2, 96, 96, 3))
+    out = m96.apply({"params": p96}, img96)
+    assert out.shape == (2, 10)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_crossformer_variable_resolution():
     """DPB makes CrossFormer input-size flexible (README.md:94): the same
     params must run at a second resolution (window-compatible)."""

@@ -13,3 +13,7 @@ from vit_tpu.utils.health import (  # noqa: F401
     with_retry,
 )
 from vit_tpu.utils.parity import fp64_vit_forward, max_logit_err  # noqa: F401
+from vit_tpu.utils.pos_embed import (  # noqa: F401
+    adapt_vit_resolution,
+    interpolate_pos_embedding,
+)
