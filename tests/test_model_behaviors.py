@@ -83,6 +83,29 @@ def test_bn_folding_levit_matches_unfolded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_mixed_precision_residual_dtype_tightens_numerics():
+    """residual_dtype=float32 (the bench's parity config) must track the
+    fp32 model strictly tighter than the all-bf16 stream does."""
+    from vit_tpu.models import ViT
+
+    cfg = dict(image_size=32, patch_size=8, num_classes=10, dim=64, depth=6,
+               heads=4, mlp_dim=128, dim_head=16)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    gold_model = ViT(**cfg)  # fp32 end-to-end
+    variables = gold_model.init({"params": jax.random.PRNGKey(1)}, img)
+    gold = np.asarray(gold_model.apply(variables, img), np.float64)
+
+    bf16 = np.asarray(
+        ViT(**cfg, dtype=jnp.bfloat16).apply(variables, img.astype(jnp.bfloat16)),
+        np.float64)
+    mixed = np.asarray(
+        ViT(**cfg, dtype=jnp.bfloat16, residual_dtype=jnp.float32).apply(variables, img),
+        np.float64)
+    err_bf16 = np.max(np.abs(bf16 - gold))
+    err_mixed = np.max(np.abs(mixed - gold))
+    assert err_mixed < err_bf16, (err_mixed, err_bf16)
+
+
 def test_pos_embedding_resolution_transfer():
     """A ViT trained at one resolution runs at another by interpolating its
     learned position table (utils.pos_embed) — a transform the reference
