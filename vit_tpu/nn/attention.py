@@ -103,6 +103,12 @@ class Attention(nn.Module):
     learned_temperature: bool = False
     project_out: Optional[bool] = None
     fuse_residual: bool = False
+    # Real token count when the caller keeps the residual stream pre-padded
+    # to the Mosaic sublane tile across the whole encoder (models/vit.py pads
+    # once after the position add instead of letting the fused kernel
+    # pad/slice the full stream every layer). Padded key columns are masked
+    # out of the softmax; padded rows carry don't-care values end to end.
+    true_tokens: Optional[int] = None
     # The reference's PreNorm normalizes only the queries; cross-attention
     # context stays raw (cait.py:96-99, cross_vit.py's PreNorm). Set True
     # for the upstream-lucidrains behavior of norming the context too.
@@ -127,6 +133,11 @@ class Attention(nn.Module):
         )
         is_self = context is None and not kv_include_self
         residual = x
+        if self.true_tokens is not None:
+            # Padded-stream mode serves the plain fused-block family; the
+            # talking-heads / re-attention kernels and cross-attention don't
+            # mask padded key columns.
+            assert is_self and not self.talking_heads and not self.reattention
 
         if self.learned_temperature:
             # LSA: scale = exp(log_tau), a learned scalar initialized so the
@@ -253,7 +264,16 @@ class Attention(nn.Module):
                     self.heads,
                     scale=scale,
                     ln_eps=self.norm_eps,
+                    true_n=self.true_tokens,
                 )
+
+            # Paths below don't mask padded key columns — work on the real
+            # tokens and re-pad the delta (padded rows pass through via the
+            # residual; without fuse_residual they become zeros).
+            pad_rows = 0
+            if self.true_tokens is not None and self.true_tokens != x.shape[1]:
+                pad_rows = x.shape[1] - self.true_tokens
+                x = x[:, : self.true_tokens]
 
             xn = _layer_norm_f32(x, norm_scale, norm_bias, self.norm_eps).astype(dtype)
             # fp32 accumulation, rounded once — identical rounding profile to
@@ -283,6 +303,8 @@ class Attention(nn.Module):
                 )
                 out = (out + out_bias).astype(residual.dtype)
                 out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
+            if pad_rows:
+                out = jnp.pad(out, ((0, 0), (0, pad_rows), (0, 0)))
             return out + residual if self.fuse_residual else out
 
         # cross-attention / post-norm / qkv-bias configurations

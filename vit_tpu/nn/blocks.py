@@ -184,6 +184,7 @@ class EncoderBlock(nn.Module):
     reattention: bool = False
     mask_self: bool = False
     learned_temperature: bool = False
+    true_tokens: Optional[int] = None  # padded-stream mode (see Attention)
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
@@ -197,6 +198,7 @@ class EncoderBlock(nn.Module):
             reattention=self.reattention,
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
+            true_tokens=self.true_tokens,
             fuse_residual=True,  # residual add fuses into the block kernel
             norm_eps=self.norm_eps,
             dtype=self.dtype,
@@ -248,6 +250,10 @@ class Transformer(nn.Module):
     final_norm: bool = False
     scan: bool = True
     scan_unroll: Optional[int] = None  # None = full unroll when depth <= 8
+    # Real token count when the caller keeps the stream padded to the Mosaic
+    # sublane tile across the whole stack (models/vit.py) — removes the
+    # fused kernel's per-layer pad/slice of the full stream.
+    true_tokens: Optional[int] = None
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
@@ -295,6 +301,7 @@ class Transformer(nn.Module):
                 reattention=self.reattention,
                 mask_self=self.mask_self,
                 learned_temperature=self.learned_temperature,
+                true_tokens=self.true_tokens,
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 name="blocks",
@@ -312,6 +319,7 @@ class Transformer(nn.Module):
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
             talking_heads=self.talking_heads,
+            true_tokens=self.true_tokens,
             norm_eps=self.norm_eps,
             dtype=self.dtype,
         )

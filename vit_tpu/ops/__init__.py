@@ -191,20 +191,26 @@ def attention(
 
 
 def attention_block(
-    x, ln_scale, ln_bias, wqkv, wout, bout, heads: int, *, scale=None, ln_eps=1e-6
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads: int, *, scale=None, ln_eps=1e-6,
+    true_n=None,
 ):
     """Dispatching fully-fused attention block (LN -> qkv -> attention ->
-    out-proj -> +residual); XLA fallback off-TPU."""
+    out-proj -> +residual); XLA fallback off-TPU.
+
+    ``true_n``: real token count when the caller keeps the residual stream
+    pre-padded to the sublane tile (see fused_attention_block) — both
+    backends mask padded key columns identically."""
     mode, auto = _resolved_mode()
-    if mode == "xla" or (auto and mode == "pallas" and not _block_kernel_wins(x.shape[1])):
+    n_real = true_n if true_n is not None else x.shape[1]
+    if mode == "xla" or (auto and mode == "pallas" and not _block_kernel_wins(n_real)):
         if scale is None:
             scale = (wqkv.shape[1] // 3 // heads) ** -0.5
         return xla_attention_block(
-            x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps
+            x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n
         )
     return fused_attention_block(
         x, ln_scale, ln_bias, wqkv, wout, bout, heads,
-        scale=scale, ln_eps=ln_eps, interpret=(mode == "interpret"),
+        scale=scale, ln_eps=ln_eps, true_n=true_n, interpret=(mode == "interpret"),
     )
 
 

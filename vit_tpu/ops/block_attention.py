@@ -122,12 +122,14 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "scale", "ln_eps", "interpret")
+    jax.jit, static_argnames=("heads", "scale", "ln_eps", "true_n", "interpret")
 )
 def _attention_block_impl(
-    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
 ):
-    b, true_n, dim = x.shape
+    b, n_in, dim = x.shape
+    if true_n is None:
+        true_n = n_in
     three_hd = wqkv.shape[1]
     hd = three_hd // 3
     d = hd // heads
@@ -139,10 +141,16 @@ def _attention_block_impl(
     # shape casts — hit at CrossViT's 257-token branch). Padded key columns
     # are masked out of the softmax in-kernel; padded query rows are
     # sliced off below.
+    #
+    # Callers that keep the WHOLE residual stream padded across the encoder
+    # (models/vit.py pads once after the position add) pass the padded x
+    # plus the real token count as ``true_n`` — then no pad/slice round
+    # trip happens here at all, which removes a full-stream HBM copy pair
+    # per layer (the round-3 flagship lever).
     sublanes = 16 if x.dtype.itemsize < 4 else 8
-    n = (true_n + sublanes - 1) // sublanes * sublanes
-    if n != true_n:
-        x = jnp.pad(x, ((0, 0), (0, n - true_n), (0, 0)))
+    n = (n_in + sublanes - 1) // sublanes * sublanes
+    if n != n_in:
+        x = jnp.pad(x, ((0, 0), (0, n - n_in), (0, 0)))
 
     # Batch tile: lift the GEMM M dim past one sample's token count while
     # keeping (weights + tile activations + scores) inside ~14MB of VMEM.
@@ -198,12 +206,17 @@ def _attention_block_impl(
         wout,
         bout.reshape(1, dim),
     )
-    return out[:, :true_n] if n != true_n else out
+    return out[:, :n_in] if n != n_in else out
 
 
-def xla_attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps=1e-6):
+def xla_attention_block(
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps=1e-6, true_n=None
+):
     """Plain-XLA equivalent — reference, CPU fallback, and the recompute for
-    the custom backward."""
+    the custom backward. ``true_n`` masks padded key columns out of the
+    softmax when the caller keeps a padded residual stream (exactly the
+    in-kernel rule, so padded and unpadded streams produce identical real
+    rows in every backend)."""
     b, n, dim = x.shape
     hd = wqkv.shape[1] // 3
     d = hd // heads
@@ -217,6 +230,9 @@ def xla_attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln
     split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
     q, k, v = split(q), split(k), split(v)
     s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
+    if true_n is not None and true_n != n:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(col_ids < true_n, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
     o = o.transpose(0, 2, 1, 3).reshape(b, n, hd).astype(wout.dtype)
@@ -225,23 +241,27 @@ def xla_attention_block(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _attention_block_ad(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _attention_block_ad(
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
+):
     return _attention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
     )
 
 
-def _ab_fwd(x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret):
+def _ab_fwd(
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
+):
     out = _attention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, interpret
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
     )
     return out, (x, ln_scale, ln_bias, wqkv, wout, bout)
 
 
-def _ab_bwd(heads, scale, ln_eps, interpret, res, g):
+def _ab_bwd(heads, scale, ln_eps, true_n, interpret, res, g):
     def f(*diff_args):
-        return xla_attention_block(*diff_args, heads, scale, ln_eps)
+        return xla_attention_block(*diff_args, heads, scale, ln_eps, true_n)
 
     _, vjp = jax.vjp(f, *res)
     return vjp(g.astype(res[0].dtype))
@@ -261,15 +281,22 @@ def fused_attention_block(
     *,
     scale: Optional[float] = None,
     ln_eps: float = 1e-6,
+    true_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``x + out_proj(attention(qkv_proj(LN(x))))`` in one kernel.
 
     Differentiable (Pallas forward, XLA-recompute backward). Returns the
     residual-added stream, same shape/dtype as ``x``.
+
+    ``true_n``: real token count when ``x`` arrives pre-padded to the Mosaic
+    sublane tile (padded key columns are masked out of the softmax; padded
+    query rows come back as don't-care values). Passing it skips the
+    per-call pad/slice of the full stream.
     """
     if scale is None:
         scale = (wqkv.shape[1] // 3 // heads) ** -0.5
     return _attention_block_ad(
-        x, ln_scale, ln_bias, wqkv, wout, bout, heads, float(scale), ln_eps, interpret
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, float(scale), ln_eps,
+        true_n, interpret,
     )
