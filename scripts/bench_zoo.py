@@ -135,6 +135,10 @@ def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False, dtype="defau
             # (utils/bn_folding.py) — the op disappears from the graph.
             from vit_tpu.utils import fold_batch_norm
             model, params = fold_batch_norm(model, jax.device_get(params))
+            # fold works on host numpy; put the folded tree back on device —
+            # leaving numpy leaves makes every timed call re-upload the whole
+            # param tree through the tunnel (measured: cvt 3300 -> 95 img/s)
+            params = jax.device_put(params)
             use_mutable = ()
         if use_mutable:
             fn = jax.jit(lambda p, x: model.apply(p, x, mutable=list(use_mutable))[0])

@@ -67,18 +67,11 @@ class ViT(nn.Module):
         x = x + pos.astype(x.dtype)
         x = nn.Dropout(self.emb_dropout, name="emb_drop")(x, deterministic=not train)
 
-        # Keep the residual stream padded to the Mosaic sublane tile across
-        # the whole encoder: one pad here + one slice at the head instead of
-        # a full-stream pad/slice round trip inside the fused attention
-        # kernel every layer (2x stream HBM traffic saved per layer; 4x in
-        # the fp32-residual mixed mode). Padded key columns are masked out
-        # of every softmax, so real-row logits are bit-identical to the
-        # unpadded stream in every backend.
-        true_n = num_patches + 1
-        n_pad = (true_n + 15) // 16 * 16
-        if n_pad != true_n:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - true_n), (0, 0)))
-
+        # The encoder keeps the residual stream padded to the Mosaic sublane
+        # tile internally (Transformer.auto_pad): one pad at entry + one
+        # slice at exit instead of a full-stream pad/slice round trip inside
+        # the fused attention kernel every layer (2x stream HBM traffic per
+        # layer; 4x in the fp32-residual mixed mode).
         x = Transformer(
             dim=self.dim,
             depth=self.depth,
@@ -86,13 +79,10 @@ class ViT(nn.Module):
             dim_head=self.dim_head,
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
-            true_tokens=true_n if n_pad != true_n else None,
             dtype=self.dtype,
             name="encoder",
         )(x, deterministic=not train)
 
-        if n_pad != true_n:
-            x = x[:, :true_n]
         x = x[:, 0] if self.pool == "cls" else jnp.mean(x, axis=1)
         x = nn.LayerNorm(dtype=jnp.float32, name="head_norm")(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

@@ -251,9 +251,19 @@ class Transformer(nn.Module):
     scan: bool = True
     scan_unroll: Optional[int] = None  # None = full unroll when depth <= 8
     # Real token count when the caller keeps the stream padded to the Mosaic
-    # sublane tile across the whole stack (models/vit.py) — removes the
-    # fused kernel's per-layer pad/slice of the full stream.
+    # sublane tile across the whole stack — removes the fused kernel's
+    # per-layer pad/slice of the full stream. Usually left None: with
+    # ``auto_pad`` the stack pads/slices internally.
     true_tokens: Optional[int] = None
+    # Pad the stream to the sublane tile once at stack entry and slice once
+    # at exit (instead of a full-stream pad/slice round trip inside the
+    # fused attention kernel every layer — 2x stream HBM traffic per layer,
+    # 4x on an fp32 stream; the round-3 ViT-L flagship lever). Padded key
+    # columns are masked out of every softmax identically in the Pallas
+    # kernel and the XLA fallback, so real-row logits are unchanged.
+    # Applies to plain self-attention stacks; variants whose kernels don't
+    # mask padded columns (talking-heads, re-attention, LSA) are excluded.
+    auto_pad: bool = True
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
@@ -264,6 +274,24 @@ class Transformer(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        true_tokens = self.true_tokens
+        slice_back = None
+        if (
+            self.auto_pad
+            and true_tokens is None
+            and context is None
+            and not self.talking_heads
+            and not self.reattention
+            and not self.mask_self
+            and not self.learned_temperature
+        ):
+            n = x.shape[1]
+            sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
+            n_pad = -(-n // sublanes) * sublanes
+            if n_pad != n:
+                x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+                true_tokens = n
+                slice_back = n
         use_scan = (
             self.scan
             and context is None
@@ -301,7 +329,7 @@ class Transformer(nn.Module):
                 reattention=self.reattention,
                 mask_self=self.mask_self,
                 learned_temperature=self.learned_temperature,
-                true_tokens=self.true_tokens,
+                true_tokens=true_tokens,
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 name="blocks",
@@ -309,7 +337,7 @@ class Transformer(nn.Module):
             x, _ = stacked(x, deterministic)
             if self.final_norm:
                 x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="final_norm")(x)
-            return x
+            return x[:, :slice_back] if slice_back is not None else x
         attn_kwargs = dict(
             dim=self.dim,
             heads=self.heads,
@@ -319,7 +347,7 @@ class Transformer(nn.Module):
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
             talking_heads=self.talking_heads,
-            true_tokens=self.true_tokens,
+            true_tokens=true_tokens,
             norm_eps=self.norm_eps,
             dtype=self.dtype,
         )
@@ -367,4 +395,4 @@ class Transformer(nn.Module):
 
         if self.final_norm:
             x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="final_norm")(x)
-        return x
+        return x[:, :slice_back] if slice_back is not None else x
