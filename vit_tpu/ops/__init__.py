@@ -175,6 +175,29 @@ def attention(
     # 0.69x when fp32 streams were routed to flash.
     fits = _flash_vmem_fits(q.shape, k.shape, v.shape, bias is not None, q.dtype.itemsize)
     use_flash = q.dtype.itemsize < 4 and nq_ >= 128 and nk_ >= 128
+    # fp32 streams with a LARGE score tensor: XLA materializes the fp32
+    # (b,h,nq,nk) scores in HBM (CvT stage 1 at batch 128: 2.1 GB written
+    # and re-read), which dominates the op. Casting the operands to bf16 is
+    # bitwise the operand rounding XLA's DEFAULT fp32 matmul already
+    # performs on the MXU (PARITY.md), so routing the cast tensors through
+    # the flash kernel (fp32 score/softmax accumulators, never materialized)
+    # keeps DEFAULT fidelity and removes the traffic. Measured at the CvT
+    # stage-1 shape (nq=4096, nk=1024, h=1, B=128): 13.9 -> 7.3 ms; the
+    # smaller stages (nq*nk <= 256k) measured faster on XLA and keep it.
+    if (
+        auto
+        and mode == "pallas"
+        and not use_flash
+        and q.dtype.itemsize == 4
+        and nq_ >= 128
+        and nk_ >= 128
+        and nq_ * nk_ >= (1 << 21)
+    ):
+        out = attention(
+            q.astype("bfloat16"), k.astype("bfloat16"), v.astype("bfloat16"),
+            None if bias is None else bias, scale=scale, mask_self=mask_self,
+        )
+        return out.astype(q.dtype)
     if mode == "xla" or (auto and mode == "pallas" and not use_flash):
         return reference_attention(q, k, v, bias, scale=scale, mask_self=mask_self)
     if not fits:
