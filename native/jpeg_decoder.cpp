@@ -36,9 +36,18 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// Decode flags (must mirror vit_tpu/data.py).
+constexpr int kDctScale = 1;  // IDCT-domain downscale to the smallest
+                              // power-of-two size still >= out_size
+constexpr int kFastIdct = 2;  // JDCT_IFAST + plain (non-fancy) upsampling;
+                              // measured NO gain on libjpeg-turbo (its
+                              // ISLOW is already SIMD: 187 vs 196 img/s) —
+                              // kept for plain-libjpeg hosts, not set by
+                              // vit_tpu's fast mode
+
 // Decode one JPEG to an RGB buffer (h*w*3). Returns false on corrupt input.
-bool decode_one(const uint8_t* buf, size_t len, std::vector<uint8_t>* rgb,
-                int* h, int* w) {
+bool decode_one(const uint8_t* buf, size_t len, int out_size, int flags,
+                std::vector<uint8_t>* rgb, int* h, int* w) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -51,6 +60,31 @@ bool decode_one(const uint8_t* buf, size_t len, std::vector<uint8_t>* rgb,
   jpeg_mem_src(&cinfo, buf, len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (flags & kDctScale) {
+    // Decode at the smallest power-of-two scale (1/8, 1/4, 1/2) whose
+    // output still covers out_size on both axes: the IDCT does the
+    // low-pass for free, and the bilinear below finishes from a 1x-2x
+    // source instead of full size. Power-of-two only — libjpeg-turbo's
+    // SIMD covers those scaled IDCTs, while odd M/8 sizes fall back to
+    // scalar code and measure SLOWER than a full-scale SIMD decode
+    // (480x320->256, M=7: 164 vs 196 img/s; M=4 at target 160: 336 vs
+    // 276). Images under 2x the target keep full scale — scaling never
+    // drops below out_size.
+    cinfo.scale_denom = 8;
+    for (int m : {1, 2, 4, 8}) {
+      cinfo.scale_num = m;
+      jpeg_calc_output_dimensions(&cinfo);
+      if (static_cast<int>(cinfo.output_width) >= out_size &&
+          static_cast<int>(cinfo.output_height) >= out_size) {
+        break;
+      }
+      cinfo.scale_num = 8;  // fall back to full scale if never covered
+    }
+  }
+  if (flags & kFastIdct) {
+    cinfo.dct_method = JDCT_IFAST;
+    cinfo.do_fancy_upsampling = FALSE;
+  }
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
@@ -100,13 +134,19 @@ void resize_bilinear(const uint8_t* src, int h, int w, uint8_t* dst, int out) {
 
 extern "C" {
 
+// Bump when the exported signature changes; vit_tpu/data.py rebuilds any
+// .so whose version doesn't match (a stale binary would otherwise be
+// called with the wrong argument list).
+int vt_api_version() { return 2; }
+
 // Decode n JPEGs (concatenated in `data`, image i spanning
 // [offsets[i], offsets[i+1])) into out[n, out_size, out_size, 3] uint8 RGB,
 // resized bilinearly. status[i] = 0 ok, 1 decode error (output zeroed).
-// Returns the number of failures. Runs on n_threads host threads.
+// flags: kDctScale | kFastIdct (0 = exact full decode, the PIL-parity
+// path). Returns the number of failures. Runs on n_threads host threads.
 int vt_decode_jpeg_batch(const uint8_t* data, const int64_t* offsets, int n,
                          int out_size, uint8_t* out, int64_t* status,
-                         int n_threads) {
+                         int n_threads, int flags) {
   std::atomic<int> next(0);
   std::atomic<int> failures(0);
   const size_t out_stride =
@@ -121,7 +161,7 @@ int vt_decode_jpeg_batch(const uint8_t* data, const int64_t* offsets, int n,
       const size_t len = static_cast<size_t>(offsets[i + 1] - offsets[i]);
       int h = 0, w = 0;
       uint8_t* dst = out + i * out_stride;
-      if (!decode_one(buf, len, &rgb, &h, &w)) {
+      if (!decode_one(buf, len, out_size, flags, &rgb, &h, &w)) {
         std::memset(dst, 0, out_stride);
         status[i] = 1;
         failures.fetch_add(1);

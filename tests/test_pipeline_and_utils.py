@@ -42,6 +42,29 @@ def test_pipeline_ragged_batches():
     np.testing.assert_allclose(out[:3], out2, atol=1e-5)
 
 
+def test_aot_export_roundtrip():
+    """AOT serving artifact: export the fused preprocess+model program with
+    weights baked in, reload it from bytes, and serve — logits must match
+    the live InferencePipeline, including ragged batches (bucket padding)
+    and batches beyond the largest bucket (chunking)."""
+    from vit_tpu.utils.aot import ExportedServing, export_serving
+
+    variables = _variables()
+    blob = export_serving(MODEL, variables, image_size=32,
+                          batch_buckets=(2, 4), decode_size=40,
+                          dtype=jnp.float32)
+    served = ExportedServing(blob)
+    pipe = InferencePipeline(MODEL, variables, image_size=32, batch_size=4,
+                             dtype=jnp.float32)
+
+    raw = (np.random.rand(3, 40, 40, 3) * 255).astype(np.uint8)
+    np.testing.assert_allclose(served(raw), np.asarray(pipe(raw)),
+                               atol=1e-5)  # ragged: pads 3 -> bucket 4
+    raw9 = (np.random.rand(9, 40, 40, 3) * 255).astype(np.uint8)
+    np.testing.assert_allclose(served(raw9), np.asarray(pipe(raw9)),
+                               atol=1e-5)  # 9 > max bucket: chunked 4+4+1
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from vit_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
@@ -167,6 +190,39 @@ class TestJpegDecode:
             # fp32 — allow 1 ulp of uint8 rounding skew
             diff = np.abs(out[i].astype(int) - ref.astype(int))
             assert diff.max() <= 1, diff.max()
+
+    def test_fast_decode_dct_scaling(self):
+        """fast=True decodes at a power-of-two IDCT scale (>= the target on
+        both axes). Sources under 2x the target must be bit-identical to the
+        exact path; larger sources may differ only by the low-pass the DCT
+        scaling applies — bounded, and never catastrophic."""
+        from PIL import Image
+        import io as _io
+
+        from vit_tpu.data import JpegDecoder
+
+        exact = JpegDecoder(size=96)
+        fast = JpegDecoder(size=96, fast=True)
+        if exact.backend != "native":
+            pytest.skip("native decoder not built")
+
+        # < 2x the target on one axis -> no scale admissible -> identical
+        small, _ = self._jpegs(n=2, sizes=((150, 260), (100, 100)))
+        np.testing.assert_array_equal(exact(small), fast(small))
+
+        # smooth 4x source -> 1/2 or 1/4 IDCT scale fires; output stays close
+        rng = np.random.default_rng(1)
+        y, x = np.mgrid[0:420, 0:400]
+        arr = (127 + 90 * np.sin(x / 37.0) * np.cos(y / 29.0)
+               + rng.normal(0, 4, (420, 400))).clip(0, 255).astype(np.uint8)
+        arr = np.repeat(arr[..., None], 3, axis=2)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        a = exact([buf.getvalue()])[0].astype(np.int32)
+        b = fast([buf.getvalue()])[0].astype(np.int32)
+        assert not np.array_equal(a, b), "scale never fired — test shape wrong"
+        assert np.abs(a - b).mean() < 6.0
+        assert np.abs(a - b).max() < 64
 
     def test_corrupt_jpeg_reported(self):
         from vit_tpu.data import JpegDecoder

@@ -24,19 +24,38 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvitjpeg.so")
 
 
-def _load_native() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_LIB_PATH):
-        try:  # build on demand; quiet failure -> PIL fallback
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:  # noqa: BLE001 — no toolchain / no libjpeg
-            return None
+# Decode flags (must mirror native/jpeg_decoder.cpp).
+_FLAG_DCT_SCALE = 1   # IDCT-domain downscale to the smallest M/8 >= out_size
+_FLAG_FAST_IDCT = 2   # JDCT_IFAST + plain upsampling
+_ABI_VERSION = 2
+
+
+def _open_lib() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    try:
+        if lib.vt_api_version() != _ABI_VERSION:
+            return None
+    except AttributeError:  # pre-versioning binary
+        return None
+    return lib
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    lib = _open_lib() if os.path.exists(_LIB_PATH) else None
+    if lib is None:
+        try:  # (re)build on demand; quiet failure -> PIL fallback
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "clean", "all"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:  # noqa: BLE001 — no toolchain / no libjpeg
+            return None
+        lib = _open_lib()
+        if lib is None:
+            return None
     lib.vt_decode_jpeg_batch.restype = ctypes.c_int
     lib.vt_decode_jpeg_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),   # data
@@ -46,6 +65,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),   # out
         ctypes.POINTER(ctypes.c_int64),   # status [n]
         ctypes.c_int,                     # n_threads
+        ctypes.c_int,                     # flags
     ]
     return lib
 
@@ -65,11 +85,24 @@ def _native_lib():
 class JpegDecoder:
     """Batch JPEG -> uint8 RGB ``[N, size, size, 3]`` with host bilinear
     resize (half-pixel centers). Native multithreaded decode when the
-    library is available; PIL otherwise (``.backend`` says which)."""
+    library is available; PIL otherwise (``.backend`` says which).
 
-    def __init__(self, size: int = 256, threads: Optional[int] = None):
+    ``fast=True`` trades bit-exactness for host throughput on the decode —
+    the serving bottleneck on small hosts (PERFORMANCE.md): the IDCT
+    downscales in the DCT domain to the smallest power-of-two size still
+    covering ``size`` (a proper low-pass, so the final bilinear reads a
+    1-2x source instead of full resolution). Power-of-two scales are the
+    ones libjpeg-turbo executes with SIMD — odd M/8 scales and JDCT_IFAST
+    were both measured slower than the full-scale SIMD decode and are not
+    used. Scale selection never decodes below ``size``; images under 2x
+    the target decode identically to the exact path. The PIL fallback uses
+    ``Image.draft`` (the same power-of-two DCT scaling)."""
+
+    def __init__(self, size: int = 256, threads: Optional[int] = None,
+                 fast: bool = False):
         self.size = size
         self.threads = threads or min(32, os.cpu_count() or 8)
+        self.fast = fast
         self._lib = _native_lib()
         self.backend = "native" if self._lib is not None else "pil"
 
@@ -85,13 +118,14 @@ class JpegDecoder:
         np.cumsum([len(j) for j in jpegs], out=offsets[1:])
         out = np.empty((n, self.size, self.size, 3), np.uint8)
         status = np.zeros(n, np.int64)
+        flags = _FLAG_DCT_SCALE if self.fast else 0
         failures = self._lib.vt_decode_jpeg_batch(
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, self.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            self.threads,
+            self.threads, flags,
         )
         if failures:
             bad = np.nonzero(status)[0].tolist()
@@ -103,7 +137,10 @@ class JpegDecoder:
 
         out = np.empty((len(jpegs), self.size, self.size, 3), np.uint8)
         for i, raw in enumerate(jpegs):
-            img = Image.open(io.BytesIO(raw)).convert("RGB")
+            img = Image.open(io.BytesIO(raw))
+            if self.fast:
+                img.draft("RGB", (self.size, self.size))
+            img = img.convert("RGB")
             arr = np.asarray(img)
             out[i] = _resize_bilinear_u8(arr, self.size)
         return out

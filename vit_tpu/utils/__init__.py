@@ -4,6 +4,12 @@ from vit_tpu.utils.importer import (  # noqa: F401
     import_reference_simple_vit_params,
     import_reference_vit_params,
 )
+from vit_tpu.utils.aot import (  # noqa: F401
+    ExportedServing,
+    export_forward,
+    export_serving,
+    load_forward,
+)
 from vit_tpu.utils.bn_folding import fold_batch_norm  # noqa: F401
 from vit_tpu.utils.debug import checked, debug_nans, kernel_sanitizer  # noqa: F401
 from vit_tpu.utils.health import (  # noqa: F401
