@@ -1,0 +1,66 @@
+"""HF/torch ViT checkpoint interop: imported weights must reproduce the
+Hugging Face torch implementation's logits (the "switch ecosystems, keep
+your checkpoint" path — vit_tpu/utils/interop.py)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _hf_model(num_labels=10):
+    from transformers import ViTConfig, ViTForImageClassification
+
+    cfg = ViTConfig(
+        hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8,
+        num_labels=num_labels,
+    )
+    torch.manual_seed(0)
+    m = ViTForImageClassification(cfg)
+    m.eval()
+    return m
+
+
+def test_hf_vit_logit_parity():
+    from vit_tpu.utils.interop import vit_from_hf
+
+    hf = _hf_model()
+    model, variables = vit_from_hf(hf)  # fp32 for strict comparison
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+
+    got = np.asarray(model.apply(variables, x))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_hf_vit_config_mapping():
+    from vit_tpu.utils.interop import hf_vit_config
+
+    hf = _hf_model(num_labels=7)
+    cfg = hf_vit_config(hf.config)
+    assert cfg["dim"] == 64 and cfg["depth"] == 3 and cfg["heads"] == 4
+    assert cfg["dim_head"] == 16 and cfg["num_classes"] == 7
+    assert cfg["qkv_bias"] is True and cfg["activation"] == "gelu_exact"
+    assert cfg["norm_eps"] == hf.config.layer_norm_eps
+
+
+def test_hf_import_runs_on_kernel_path():
+    """The imported tree must also apply under bf16 (the TPU kernel-path
+    config) — shapes/layout identical, only dtypes differ."""
+    import jax.numpy as jnp
+
+    from vit_tpu.utils.interop import vit_from_hf
+
+    hf = _hf_model()
+    model, variables = vit_from_hf(hf, dtype=jnp.bfloat16)
+    x = np.random.default_rng(1).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(model.apply(variables, jnp.asarray(x, jnp.bfloat16)))
+    assert out.shape == (2, 10)
+    assert np.isfinite(out).all()

@@ -33,6 +33,11 @@ class ViT(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     emb_dropout: float = 0.0
+    # Interop knobs (HF/timm ViT checkpoints, utils/interop.py): bias on
+    # the qkv projections, erf GELU, and the checkpoint's LayerNorm eps.
+    qkv_bias: bool = False
+    activation: str = "gelu"
+    norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
     # Mixed precision: keep the residual stream in this dtype while the
     # GEMMs run in ``dtype`` (set fp32 + bf16 for near-fp32 logits at
@@ -79,10 +84,13 @@ class ViT(nn.Module):
             dim_head=self.dim_head,
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
+            qkv_bias=self.qkv_bias,
+            activation=self.activation,
+            norm_eps=self.norm_eps,
             dtype=self.dtype,
             name="encoder",
         )(x, deterministic=not train)
 
         x = x[:, 0] if self.pool == "cls" else jnp.mean(x, axis=1)
-        x = nn.LayerNorm(dtype=jnp.float32, name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="head_norm")(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)

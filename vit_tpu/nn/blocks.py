@@ -109,6 +109,8 @@ class FeedForward(nn.Module):
 def _activate(h, activation):
     if activation == "gelu":
         return nn.gelu(h)
+    if activation == "gelu_exact":  # erf-based, HF/timm ViTs (interop)
+        return nn.gelu(h, approximate=False)
     if activation == "hard_swish":
         return h * nn.relu6(h + 3.0) / 6.0
     raise ValueError(activation)
@@ -184,6 +186,8 @@ class EncoderBlock(nn.Module):
     reattention: bool = False
     mask_self: bool = False
     learned_temperature: bool = False
+    qkv_bias: bool = False
+    activation: str = "gelu"
     true_tokens: Optional[int] = None  # padded-stream mode (see Attention)
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
@@ -198,6 +202,7 @@ class EncoderBlock(nn.Module):
             reattention=self.reattention,
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
+            qkv_bias=self.qkv_bias,
             true_tokens=self.true_tokens,
             fuse_residual=True,  # residual add fuses into the block kernel
             norm_eps=self.norm_eps,
@@ -206,6 +211,7 @@ class EncoderBlock(nn.Module):
         )(x, deterministic=deterministic)
         x = x + FeedForward(
             self.dim, self.mlp_dim, self.dropout, ln_eps=self.norm_eps,
+            activation=self.activation,
             dtype=self.dtype, name="ff"
         )(x, deterministic=deterministic)
         return x, ()
@@ -245,6 +251,11 @@ class Transformer(nn.Module):
     mask_self: bool = False
     learned_temperature: bool = False
     talking_heads: bool = False
+    # HF/timm-style blocks (interop): bias on the qkv projections and the
+    # erf GELU. qkv_bias routes attention off the fused raw-param kernel
+    # onto the flax+flash path (the kernels' qkv GEMM has no bias input).
+    qkv_bias: bool = False
+    activation: str = "gelu"
     layer_dropout: float = 0.0
     parallel_branches: int = 1
     final_norm: bool = False
@@ -284,6 +295,8 @@ class Transformer(nn.Module):
             and not self.reattention
             and not self.mask_self
             and not self.learned_temperature
+            # the qkv-bias (flax) attention path doesn't mask padded keys
+            and not self.qkv_bias
         ):
             n = x.shape[1]
             sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
@@ -329,6 +342,8 @@ class Transformer(nn.Module):
                 reattention=self.reattention,
                 mask_self=self.mask_self,
                 learned_temperature=self.learned_temperature,
+                qkv_bias=self.qkv_bias,
+                activation=self.activation,
                 true_tokens=true_tokens,
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
@@ -347,6 +362,7 @@ class Transformer(nn.Module):
             mask_self=self.mask_self,
             learned_temperature=self.learned_temperature,
             talking_heads=self.talking_heads,
+            qkv_bias=self.qkv_bias,
             true_tokens=true_tokens,
             norm_eps=self.norm_eps,
             dtype=self.dtype,
@@ -372,6 +388,7 @@ class Transformer(nn.Module):
                 x = residual(x, a, i, "attn")
                 f = FeedForward(
                     self.dim, self.mlp_dim, self.dropout, ln_eps=self.norm_eps,
+                    activation=self.activation,
                     dtype=self.dtype, name=f"ff_{i}"
                 )(x, deterministic=deterministic)
                 x = residual(x, f, i, "ff")

@@ -43,6 +43,8 @@ def _layer_norm_f32(x, scale, bias, eps=1e-6):
 def _activate(h, activation: str):
     if activation == "gelu":
         return jax.nn.gelu(h)
+    if activation == "gelu_exact":  # erf-based, HF/timm ViTs (interop)
+        return jax.nn.gelu(h, approximate=False)
     if activation == "hard_swish":  # LeViT MLP flavor (levit.py:40)
         return h * jax.nn.relu6(h + 3.0) / 6.0
     raise ValueError(activation)

@@ -18,6 +18,11 @@ from vit_tpu.utils.health import (  # noqa: F401
     probe_devices,
     with_retry,
 )
+from vit_tpu.utils.interop import (  # noqa: F401
+    hf_vit_config,
+    import_hf_vit_params,
+    vit_from_hf,
+)
 from vit_tpu.utils.parity import fp64_vit_forward, max_logit_err  # noqa: F401
 from vit_tpu.utils.pos_embed import (  # noqa: F401
     adapt_vit_resolution,
