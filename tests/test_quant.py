@@ -1,0 +1,130 @@
+"""W8A8 post-training quantization (ops/quant.py + utils/quantize.py):
+machinery exactness, and quantized-vs-float logit closeness on a small ViT.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.ops.quant import (
+    dequantize,
+    int8_matmul,
+    quantize_channelwise,
+    quantize_rows,
+)
+
+
+def test_weight_quant_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.05, (4, 64, 128)).astype(np.float32))
+    w_i8, s = quantize_channelwise(w)
+    assert w_i8.dtype == jnp.int8 and s.shape == (4, 1, 128)
+    err = np.abs(np.asarray(dequantize(w_i8, s)) - np.asarray(w))
+    # symmetric int8: per-channel error bounded by scale/2 = amax/254
+    bound = np.asarray(np.max(np.abs(w), axis=-2, keepdims=True)) / 254 + 1e-8
+    assert (err <= bound).all()
+
+
+def test_row_quant_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 2.0, (8, 64)).astype(np.float32))
+    x_i8, s = quantize_rows(x)
+    err = np.abs(np.asarray(x_i8, np.float32) * np.asarray(s) - np.asarray(x))
+    bound = np.max(np.abs(np.asarray(x)), axis=-1, keepdims=True) / 254 + 1e-8
+    assert (err <= bound).all()
+
+
+def test_int8_matmul_close_to_float():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (32, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (96, 48)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, (48,)).astype(np.float32))
+    w_i8, s = quantize_channelwise(w)
+    got = np.asarray(int8_matmul(x, w_i8, s, bias=bias))
+    ref = np.asarray(x @ w + bias)
+    # int8 GEMM error scales with sqrt(K) * (x_step * |w| + w_step * |x|)
+    assert np.abs(got - ref).max() < 0.05
+    assert np.abs(got - ref).mean() < 0.01
+
+
+def _small_vit(**kw):
+    from vit_tpu.models import ViT
+
+    return ViT(
+        image_size=32, patch_size=8, num_classes=10, dim=64, depth=3,
+        heads=4, dim_head=16, mlp_dim=128, **kw,
+    )
+
+
+def test_w8a8_vit_logits_close():
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit()
+    img = jnp.asarray(
+        np.random.default_rng(3).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    ref = np.asarray(jax.jit(model.apply)(variables, img))
+
+    qvars = quantize_vit(variables)
+    got = np.asarray(jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))(qvars, img))
+
+    assert got.shape == ref.shape
+    # fresh random init: logits are O(0.1); W8A8 keeps them within a few
+    # percent of the float forward (trained checkpoints behave better —
+    # their logit range is O(10) with the same absolute rounding noise)
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 0.05
+
+
+def test_quantize_vit_does_not_mutate_input():
+    model = _small_vit()
+    img = jnp.ones((1, 32, 32, 3), jnp.float32)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    from vit_tpu.utils.quantize import quantize_vit
+
+    quantize_vit(variables)
+    # the float kernels must still be present in the caller's tree
+    blocks = variables["params"]["encoder"]["blocks"]
+    assert "qkv_kernel" in blocks["attn"]
+    assert "w1" in blocks["ff"]
+
+
+def test_w8a8_runs_bf16_stream():
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit(dtype=jnp.bfloat16)
+    img = jnp.ones((1, 32, 32, 3), jnp.bfloat16)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    qvars = quantize_vit(variables)
+    out = np.asarray(jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))(qvars, img))
+    assert out.shape == (1, 10) and np.isfinite(out).all()
+
+
+def test_w8a8_data_parallel_matches_single():
+    """The quantized forward shards over a data mesh like any apply: int8
+    weight tables replicate, the batch splits, logits match single-device."""
+    import jax.sharding as shd
+
+    from vit_tpu.parallel.mesh import make_mesh
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit()
+    img = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    qvars = quantize_vit(variables)
+
+    single = np.asarray(jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))(qvars, img))
+
+    mesh = make_mesh()  # 8-way data parallel (conftest virtual CPU mesh)
+    data = shd.NamedSharding(mesh, shd.PartitionSpec("data"))
+    repl = shd.NamedSharding(mesh, shd.PartitionSpec())
+    fn = jax.jit(
+        lambda v, x: vit_apply_w8a8(model, v, x),
+        in_shardings=(repl, data),
+        out_shardings=data,
+    )
+    sharded = np.asarray(fn(qvars, jax.device_put(img, data)))
+    np.testing.assert_allclose(sharded, single, atol=1e-5, rtol=1e-5)
