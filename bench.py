@@ -61,7 +61,7 @@ def timed_latency(fn, *args, iters=ITERS):
     return float(np.percentile(ts, 50)), float(np.percentile(ts, 90))
 
 
-def probe_service(threshold_ms=8.0, attempts=6, wait_s=120):
+def probe_service(threshold_ms=8.0, attempts=10, wait_s=150):
     """The tunneled TPU service has degraded episodes that poison every
     timing (observed: trivial matmuls hanging for minutes). Probe with a
     small matmul; if slow, wait and retry a few times so an unattended

@@ -61,14 +61,17 @@ def test_dryrun_body_in_process():
 def test_entry_lowering_fresh_subprocess():
     # Compile-check entry() the way the driver does, but lower-only (no TPU
     # execution needed; ViT-L runs are the bench's job).
+    # Pin the child to CPU via jax.config (the env var alone is overridden
+    # by this environment's sitecustomize): lowering is backend-agnostic,
+    # and a degraded tunnel episode must not hang a compile-only check.
     code = (
-        "import __graft_entry__, jax; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import __graft_entry__; "
         "fn, args = __graft_entry__.entry(); "
         "jax.jit(fn).lower(*args); "
         "print('entry lowering ok')"
     )
-    env = dict(os.environ)  # keep conftest CPU pins if present: lowering is
-    # backend-agnostic and CPU avoids tunnel latency
+    env = dict(os.environ)
     result = subprocess.run(
         [sys.executable, "-c", code],
         env=env,
