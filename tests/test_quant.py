@@ -128,3 +128,30 @@ def test_w8a8_data_parallel_matches_single():
     )
     sharded = np.asarray(fn(qvars, jax.device_put(img, data)))
     np.testing.assert_allclose(sharded, single, atol=1e-5, rtol=1e-5)
+
+
+def test_w8_weight_only_tighter_than_w8a8():
+    """Weight-only mode removes the activation rounding: its logit error
+    vs the float forward must be under the W8A8 error."""
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit()
+    img = jnp.asarray(
+        np.random.default_rng(7).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    ref = np.asarray(jax.jit(model.apply)(variables, img))
+    qvars = quantize_vit(variables)
+
+    w8 = np.asarray(
+        jax.jit(lambda v, x: vit_apply_w8a8(model, v, x, mode="w8"))(qvars, img)
+    )
+    w8a8 = np.asarray(
+        jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))(qvars, img)
+    )
+    err_w8 = np.abs(w8 - ref).max()
+    err_w8a8 = np.abs(w8a8 - ref).max()
+    # measured on this seed: w8 0.024 vs w8a8 0.044 on logit range 1.8 —
+    # dropping the activation rounding roughly halves the divergence
+    assert err_w8 < 0.03
+    assert err_w8 < err_w8a8
