@@ -155,3 +155,28 @@ def test_w8_weight_only_tighter_than_w8a8():
     # dropping the activation rounding roughly halves the divergence
     assert err_w8 < 0.03
     assert err_w8 < err_w8a8
+
+
+def test_w8a8_aot_export_roundtrip():
+    """The quantized forward exports as an AOT serving artifact (int8 weight
+    tables baked in) and the reloaded program reproduces live logits."""
+    from vit_tpu.utils.aot import ExportedServing, export_serving
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit()
+    img = jnp.ones((1, 32, 32, 3), jnp.float32)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    qvars = quantize_vit(variables)
+
+    blob = export_serving(
+        model, qvars, image_size=32, batch_buckets=(2,), decode_size=40,
+        dtype=jnp.float32,
+        apply_fn=lambda v, x: vit_apply_w8a8(model, v, x),
+    )
+    served = ExportedServing(blob)
+
+    raw = (np.random.default_rng(9).random((2, 40, 40, 3)) * 255).astype(np.uint8)
+    from vit_tpu.pipeline import preprocess
+
+    live = vit_apply_w8a8(model, qvars, preprocess(raw, image_size=32, dtype=jnp.float32))
+    np.testing.assert_allclose(served(raw), np.asarray(live), atol=1e-5)

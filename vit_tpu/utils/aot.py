@@ -61,15 +61,23 @@ def export_serving(
     decode_size: int = 256,
     dtype=jnp.bfloat16,
     platforms: Optional[Sequence[str]] = None,
+    apply_fn: Optional[Callable] = None,
 ) -> bytes:
     """Package the serving path (uint8 -> preprocess -> logits) with the
     weights baked in, one program per batch bucket, as a single artifact.
+
+    ``apply_fn(variables, x)`` overrides the forward — e.g. the W8A8
+    quantized path: ``export_serving(model, qvars, apply_fn=lambda v, x:
+    vit_apply_w8a8(model, v, x))`` bakes the int8 weight tables into the
+    artifact (half the float artifact's weight bytes).
     """
     from vit_tpu.pipeline import preprocess
 
+    apply = apply_fn if apply_fn is not None else model.apply
+
     def run(raw):
         x = preprocess(raw, image_size=image_size, dtype=dtype)
-        return model.apply(variables, x)
+        return apply(variables, x)
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as z:
