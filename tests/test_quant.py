@@ -180,3 +180,23 @@ def test_w8a8_aot_export_roundtrip():
 
     live = vit_apply_w8a8(model, qvars, preprocess(raw, image_size=32, dtype=jnp.float32))
     np.testing.assert_allclose(served(raw), np.asarray(live), atol=1e-5)
+
+
+def test_w8a8_inference_pipeline():
+    """The streaming serving pipeline serves the quantized forward end-to-
+    end (uint8 -> fused preprocess -> int8 encoder GEMMs -> logits)."""
+    from vit_tpu.pipeline import InferencePipeline
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit()
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 32, 32, 3))
+    )
+    qvars = quantize_vit(variables)
+    pipe = InferencePipeline(
+        model, qvars, image_size=32, batch_size=4, dtype=jnp.float32,
+        apply_fn=lambda v, x: vit_apply_w8a8(model, v, x),
+    )
+    raw = (np.random.default_rng(11).random((6, 40, 40, 3)) * 255).astype(np.uint8)
+    out = np.asarray(pipe(raw))
+    assert out.shape == (6, 10) and np.isfinite(out).all()

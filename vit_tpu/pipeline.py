@@ -81,6 +81,7 @@ class InferencePipeline:
         batch_size: int = 64,
         mesh=None,
         dtype=jnp.bfloat16,
+        apply_fn=None,
     ):
         self.model = model
         self.variables = variables
@@ -88,9 +89,14 @@ class InferencePipeline:
         self.image_size = image_size
         self.dtype = dtype
 
+        # apply_fn(variables, x) overrides the forward — e.g. the int8
+        # path: InferencePipeline(model, qvars, apply_fn=lambda v, x:
+        # vit_apply_w8a8(model, v, x)) serves quantized end-to-end.
+        apply = apply_fn if apply_fn is not None else model.apply
+
         def run(variables, raw):
             x = preprocess(raw, image_size=image_size, dtype=dtype)
-            return model.apply(variables, x)
+            return apply(variables, x)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
