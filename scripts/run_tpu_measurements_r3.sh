@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 TPU measurement batch: run the moment the service is healthy.
+# Each stage logs to /tmp/r3_tpu/<name>.log; stages are independent so a
+# mid-batch degradation only loses the stage it hits.
+set -u
+mkdir -p /tmp/r3_tpu
+cd /root/repo
+
+run() {
+  name=$1; shift
+  echo "=== $name: $(date +%H:%M:%S) ===" | tee -a /tmp/r3_tpu/driver.log
+  timeout 1800 "$@" > /tmp/r3_tpu/"$name".log 2>&1
+  echo "--- $name exit $? at $(date +%H:%M:%S)" | tee -a /tmp/r3_tpu/driver.log
+}
+
+# 0. health gate
+python - <<'EOF'
+import sys, time
+sys.path.insert(0, "/root/repo/scripts")
+from r3util import probe_ms
+ms = probe_ms()
+print(f"probe {ms:.2f} ms")
+sys.exit(0 if ms < 12 else 1)
+EOF
+if [ $? -ne 0 ]; then echo "service degraded; aborting" ; exit 1; fi
+
+run smoke       python scripts/tpu_smoke.py
+run probe_int8  python scripts/probe_int8.py
+run bench_quant python scripts/bench_quant.py
+run bench       python bench.py
+echo "all done $(date +%H:%M:%S)" | tee -a /tmp/r3_tpu/driver.log

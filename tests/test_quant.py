@@ -200,3 +200,26 @@ def test_w8a8_inference_pipeline():
     raw = (np.random.default_rng(11).random((6, 40, 40, 3)) * 255).astype(np.uint8)
     out = np.asarray(pipe(raw))
     assert out.shape == (6, 10) and np.isfinite(out).all()
+
+
+def test_w8a8_simple_vit_logits_close():
+    """quantize_vit + the shared quantized encoder cover SimpleViT too."""
+    from vit_tpu.models import SimpleViT
+    from vit_tpu.utils.quantize import quantize_vit, simple_vit_apply_w8a8
+
+    model = SimpleViT(
+        image_size=32, patch_size=8, num_classes=10, dim=64, depth=3,
+        heads=4, dim_head=16, mlp_dim=128,
+    )
+    img = jnp.asarray(
+        np.random.default_rng(13).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    ref = np.asarray(jax.jit(model.apply)(variables, img))
+    qvars = quantize_vit(variables)
+    got = np.asarray(
+        jax.jit(lambda v, x: simple_vit_apply_w8a8(model, v, x))(qvars, img)
+    )
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 0.05

@@ -24,7 +24,11 @@ from vit_tpu.utils.interop import (  # noqa: F401
     vit_from_hf,
 )
 from vit_tpu.utils.parity import fp64_vit_forward, max_logit_err  # noqa: F401
-from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8  # noqa: F401
+from vit_tpu.utils.quantize import (  # noqa: F401
+    quantize_vit,
+    simple_vit_apply_w8a8,
+    vit_apply_w8a8,
+)
 from vit_tpu.utils.pos_embed import (  # noqa: F401
     adapt_vit_resolution,
     interpolate_pos_embedding,

@@ -55,6 +55,78 @@ def quantize_vit(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "quant": quant}
 
 
+def _make_qmm(mode: str, dtype):
+    if mode == "w8a8":
+        return int8_matmul
+
+    def qmm(x, w_i8, w_scale, bias=None, out_dtype=None):
+        w = (w_i8.astype(jnp.float32) * w_scale).astype(dtype)
+        out = jnp.matmul(x.astype(dtype), w, preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(out_dtype or x.dtype)
+
+    return qmm
+
+
+def _encoder_w8a8(
+    x: jax.Array,
+    blocks: Dict[str, Any],
+    q: Dict[str, Any],
+    *,
+    heads: int,
+    dim_head: int,
+    eps: float,
+    dtype,
+    activation: str,
+    qmm,
+) -> jax.Array:
+    """The scanned quantized encoder shared by every vanilla-stack model
+    (ViT, SimpleViT): pre-norm attention + MLP with all four GEMMs through
+    ``qmm``, fp32 residual adds, per-layer weights sliced by ``lax.scan``."""
+    b, n, _ = x.shape
+    scale = dim_head**-0.5
+    attn_p, ff_p = blocks["attn"], blocks["ff"]
+
+    def layer(x, wq):
+        (norm_scale, norm_bias, qkv_b, out_b,
+         ln1s, ln1b, b1, b2,
+         qkv_w, qkv_s, out_w, out_s, w1_w, w1_s, w2_w, w2_s) = wq
+
+        # --- attention ---
+        xn = _layer_norm(x, norm_scale, norm_bias, eps).astype(dtype)
+        qkv = qmm(xn, qkv_w, qkv_s, bias=qkv_b, out_dtype=dtype)
+        qkv = qkv.reshape(b, n, 3, heads, dim_head).transpose(2, 0, 3, 1, 4)
+        qh, kh, vh = qkv[0], qkv[1], qkv[2]
+        s = (
+            jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32)
+            * scale
+        )
+        a = jax.nn.softmax(s, axis=-1).astype(dtype)
+        ctx = jnp.einsum("bhij,bhjd->bhid", a, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+        out = qmm(ctx, out_w, out_s, bias=out_b, out_dtype=jnp.float32)
+        x = (x.astype(jnp.float32) + out).astype(dtype)
+
+        # --- MLP ---
+        xn = _layer_norm(x, ln1s, ln1b, eps).astype(dtype)
+        h = qmm(xn, w1_w, w1_s, bias=b1, out_dtype=jnp.float32)
+        h = _activate(h, activation).astype(dtype)
+        out = qmm(h, w2_w, w2_s, bias=b2, out_dtype=jnp.float32)
+        x = (x.astype(jnp.float32) + out).astype(dtype)
+        return x, ()
+
+    xs = (
+        attn_p["norm_scale"], attn_p["norm_bias"],
+        attn_p.get("qkv_bias"), attn_p["out_bias"],
+        ff_p["ln_scale"], ff_p["ln_bias"], ff_p["b1"], ff_p["b2"],
+        q["to_qkv"]["w"], q["to_qkv"]["s"], q["to_out"]["w"], q["to_out"]["s"],
+        q["w1"]["w"], q["w1"]["s"], q["w2"]["w"], q["w2"]["s"],
+    )
+    x, _ = jax.lax.scan(layer, x, xs)
+    return x
+
+
 def vit_apply_w8a8(
     model, qvars: Dict[str, Any], img: jax.Array, mode: str = "w8a8"
 ) -> jax.Array:
@@ -71,25 +143,10 @@ def vit_apply_w8a8(
     batch sizes — independent of whether XLA reaches the int8 MXU.
     """
     assert mode in ("w8a8", "w8")
-    p = qvars["params"]
-    q = qvars["quant"]
+    p, q = qvars["params"], qvars["quant"]
     dtype = model.dtype or jnp.float32
     eps = model.norm_eps
-    heads, dim_head = model.heads, model.dim_head
-    scale = dim_head**-0.5
-
-    if mode == "w8a8":
-        qmm = int8_matmul
-    else:
-
-        def qmm(x, w_i8, w_scale, bias=None, out_dtype=None):
-            w = (w_i8.astype(jnp.float32) * w_scale).astype(dtype)
-            out = jnp.matmul(
-                x.astype(dtype), w, preferred_element_type=jnp.float32
-            )
-            if bias is not None:
-                out = out + bias.astype(jnp.float32)
-            return out.astype(out_dtype or x.dtype)
+    qmm = _make_qmm(mode, dtype)
 
     # patch embed: patchify + float GEMM with fp32 epilogue (PatchEmbed)
     x = ops.patchify(img, model.patch_size)
@@ -107,49 +164,53 @@ def vit_apply_w8a8(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embedding"].astype(dtype)
 
-    blocks = p["encoder"]["blocks"]
-    attn_p, ff_p = blocks["attn"], blocks["ff"]
-    n = x.shape[1]
-
-    def layer(x, wq):
-        (norm_scale, norm_bias, qkv_b, out_kernel_b,
-         ln1s, ln1b, b1, b2,
-         qkv_w, qkv_s, out_w, out_s, w1_w, w1_s, w2_w, w2_s) = wq
-
-        # --- attention ---
-        xn = _layer_norm(x, norm_scale, norm_bias, eps).astype(dtype)
-        qkv = qmm(xn, qkv_w, qkv_s, bias=qkv_b, out_dtype=dtype)
-        qkv = qkv.reshape(b, n, 3, heads, dim_head).transpose(2, 0, 3, 1, 4)
-        qh, kh, vh = qkv[0], qkv[1], qkv[2]
-        s = (
-            jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32)
-            * scale
-        )
-        a = jax.nn.softmax(s, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhij,bhjd->bhid", a, vh)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
-        out = qmm(ctx, out_w, out_s, bias=out_kernel_b, out_dtype=jnp.float32)
-        x = (x.astype(jnp.float32) + out).astype(dtype)
-
-        # --- MLP ---
-        xn = _layer_norm(x, ln1s, ln1b, eps).astype(dtype)
-        h = qmm(xn, w1_w, w1_s, bias=b1, out_dtype=jnp.float32)
-        h = _activate(h, model.activation).astype(dtype)
-        out = qmm(h, w2_w, w2_s, bias=b2, out_dtype=jnp.float32)
-        x = (x.astype(jnp.float32) + out).astype(dtype)
-        return x, ()
-
-    xs = (
-        attn_p["norm_scale"], attn_p["norm_bias"],
-        attn_p.get("qkv_bias"), attn_p["out_bias"],
-        ff_p["ln_scale"], ff_p["ln_bias"], ff_p["b1"], ff_p["b2"],
-        q["to_qkv"]["w"], q["to_qkv"]["s"], q["to_out"]["w"], q["to_out"]["s"],
-        q["w1"]["w"], q["w1"]["s"], q["w2"]["w"], q["w2"]["s"],
+    x = _encoder_w8a8(
+        x, p["encoder"]["blocks"], q, heads=model.heads,
+        dim_head=model.dim_head, eps=eps, dtype=dtype,
+        activation=model.activation, qmm=qmm,
     )
-    x, _ = jax.lax.scan(lambda c, wq: layer(c, wq), x, xs)
 
     x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
     hn = p["head_norm"]
     x = _layer_norm(x.astype(jnp.float32), hn["scale"], hn["bias"], eps)
+    head = p["head"]
+    return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
+
+
+def simple_vit_apply_w8a8(
+    model, qvars: Dict[str, Any], img: jax.Array, mode: str = "w8a8"
+) -> jax.Array:
+    """Quantized inference forward for ``vit_tpu.models.SimpleViT``
+    (no cls token, fixed sin-cos positions, mean pool, eps 1e-5 —
+    models/simple_vit.py)."""
+    assert mode in ("w8a8", "w8")
+    p, q = qvars["params"], qvars["quant"]
+    dtype = model.dtype or jnp.float32
+    eps = 1e-5  # simple_vit.py: encoder and head_norm
+    qmm = _make_qmm(mode, dtype)
+
+    if model.channels_first:
+        img = img.transpose(0, 2, 3, 1)
+    gh = img.shape[1] // model.patch_size
+    gw = img.shape[2] // model.patch_size
+    x = ops.patchify(img, model.patch_size)
+    proj = p["patch_embed"]["proj"]
+    x = (
+        jnp.matmul(
+            x.astype(dtype), proj["kernel"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + proj["bias"]
+    ).astype(dtype)
+    x = x + ops.posemb_sincos_2d(gh, gw, model.dim, dtype=x.dtype)[None]
+
+    x = _encoder_w8a8(
+        x, p["encoder"]["blocks"], q, heads=model.heads,
+        dim_head=model.dim_head, eps=eps, dtype=dtype,
+        activation="gelu", qmm=qmm,
+    )
+
+    x = jnp.mean(x, axis=1)
+    x = _layer_norm(x.astype(jnp.float32), p["head_norm"]["scale"], None, eps)
     head = p["head"]
     return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
