@@ -84,7 +84,6 @@ def _encoder_w8a8(
     """The scanned quantized encoder shared by every vanilla-stack model
     (ViT, SimpleViT): pre-norm attention + MLP with all four GEMMs through
     ``qmm``, fp32 residual adds, per-layer weights sliced by ``lax.scan``."""
-    b, n, _ = x.shape
     scale = dim_head**-0.5
     attn_p, ff_p = blocks["attn"], blocks["ff"]
 
@@ -93,18 +92,11 @@ def _encoder_w8a8(
          ln1s, ln1b, b1, b2,
          qkv_w, qkv_s, out_w, out_s, w1_w, w1_s, w2_w, w2_s) = wq
 
-        # --- attention ---
+        # --- attention: int8 qkv GEMM -> the dispatching fused-qkv
+        # attention (zero-copy head-sliced kernel on TPU, XLA elsewhere) ---
         xn = _layer_norm(x, norm_scale, norm_bias, eps).astype(dtype)
         qkv = qmm(xn, qkv_w, qkv_s, bias=qkv_b, out_dtype=dtype)
-        qkv = qkv.reshape(b, n, 3, heads, dim_head).transpose(2, 0, 3, 1, 4)
-        qh, kh, vh = qkv[0], qkv[1], qkv[2]
-        s = (
-            jnp.einsum("bhid,bhjd->bhij", qh, kh, preferred_element_type=jnp.float32)
-            * scale
-        )
-        a = jax.nn.softmax(s, axis=-1).astype(dtype)
-        ctx = jnp.einsum("bhij,bhjd->bhid", a, vh)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+        ctx = ops.qkv_attention(qkv, heads, scale=scale)
         out = qmm(ctx, out_w, out_s, bias=out_b, out_dtype=jnp.float32)
         x = (x.astype(jnp.float32) + out).astype(dtype)
 
