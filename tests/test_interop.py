@@ -64,3 +64,42 @@ def test_hf_import_runs_on_kernel_path():
     out = np.asarray(model.apply(variables, jnp.asarray(x, jnp.bfloat16)))
     assert out.shape == (2, 10)
     assert np.isfinite(out).all()
+
+
+def test_bare_vitmodel_import_applies():
+    """A bare ViTModel (no classifier) imports with a zero-initialized head
+    at the config's num_labels width — apply works, logits are zeros."""
+    from transformers import ViTConfig, ViTModel
+
+    from vit_tpu.utils.interop import vit_from_hf
+
+    cfg = ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8,
+    )
+    torch.manual_seed(0)
+    model, variables = vit_from_hf(ViTModel(cfg))
+    x = np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(model.apply(variables, x))
+    assert out.shape == (2, cfg.num_labels)
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_hf_import_quantizes():
+    """The HF-imported (flax-layout, qkv-bias) tree quantizes and the
+    quantized forward tracks the float forward."""
+    import jax
+
+    from vit_tpu.utils.interop import vit_from_hf
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    hf = _hf_model()
+    model, variables = vit_from_hf(hf)
+    x = np.random.default_rng(2).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(jax.jit(model.apply)(variables, x))
+
+    qvars = quantize_vit(variables)
+    got = np.asarray(jax.jit(lambda v, i: vit_apply_w8a8(model, v, i))(qvars, x))
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 0.05

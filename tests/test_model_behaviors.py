@@ -242,3 +242,18 @@ def test_cait_fused_talking_heads_branch_matches_xla():
              cls_depth=1, heads=4, mlp_dim=128, dim_head=16),
         (1, 32, 32, 3),
     )
+
+
+def test_true_tokens_refuses_unmasked_paths():
+    """true_tokens (padded-stream mode) is only honored by the raw-param
+    self-attention path; the flax branch (qkv_bias) would silently attend
+    to padded key rows, so the module must refuse."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from vit_tpu.nn.attention import Attention
+
+    attn = Attention(dim=64, heads=4, dim_head=16, qkv_bias=True, true_tokens=60)
+    with pytest.raises(AssertionError, match="raw-param"):
+        attn.init({"params": jax.random.PRNGKey(0)}, jnp.ones((1, 64, 64)))

@@ -135,9 +135,16 @@ class Attention(nn.Module):
         residual = x
         if self.true_tokens is not None:
             # Padded-stream mode serves the plain fused-block family; the
-            # talking-heads / re-attention kernels and cross-attention don't
-            # mask padded key columns.
-            assert is_self and not self.talking_heads and not self.reattention
+            # talking-heads / re-attention kernels, cross-attention, and
+            # the flax branch (qkv_bias / post-norm) don't mask padded key
+            # columns — silently wrong logits, so refuse loudly.
+            assert (
+                is_self
+                and self.pre_norm
+                and not self.qkv_bias
+                and not self.talking_heads
+                and not self.reattention
+            ), "true_tokens requires the raw-param self-attention path"
 
         if self.learned_temperature:
             # LSA: scale = exp(log_tau), a learned scalar initialized so the

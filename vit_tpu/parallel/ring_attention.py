@@ -7,14 +7,15 @@ the sequence is sharded over a mesh axis, each device keeps its Q shard
 resident and its K/V shard in motion — at step i every device contracts its
 queries against the K/V block that started i hops away, then rotates the
 block to its ring neighbor with ``lax.ppermute``. After P steps every query
-has seen every key with only P point-to-point transfers of one shard each —
-no all-gather, no materialized global K/V, and the permutes ride ICI
+has seen every key with only P-1 point-to-point transfers of one shard
+each (the last block's rotation would be discarded, so it is skipped) — no
+all-gather, no materialized global K/V, and the permutes ride ICI
 neighbor-to-neighbor.
 
 The running (m, l, acc) rescale is the same online-softmax algebra the
-kv-blocked kernel uses; the per-step local contraction dispatches through
-``ops.attention``'s own per-shape policy, so on TPU the inner math still
-runs the Pallas kernels.
+kv-blocked kernel uses; the local contraction is plain XLA einsums (each
+device sees only an N/P-token block — below the fused kernels' win
+threshold at zoo shapes).
 
 Zoo sequences (<= 3.2k tokens) never need this — it exists so the framework
 scales past single-chip HBM, and it is exercised on the virtual CPU mesh in
@@ -23,6 +24,7 @@ tests (sharded-vs-single parity, collective placement).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional
 
@@ -74,7 +76,15 @@ def ring_attention(
     p_devices = mesh.shape[axis_name]
     n = q.shape[2]
     assert n % p_devices == 0, f"sequence {n} must divide ring size {p_devices}"
-    scale = float(scale)
+    return _ring_fn(mesh, axis_name, float(scale))(q, k, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _ring_fn(mesh: Mesh, axis_name: str, scale: float):
+    """Build-and-jit once per (mesh, axis, scale): a fresh jit closure per
+    call would defeat the executable cache and recompile the whole sharded
+    program every invocation (shapes still key the jit cache as usual)."""
+    p_devices = mesh.shape[axis_name]
 
     def per_device(q_loc, k_loc, v_loc):
         # ring neighbor rotation: shard j -> device j+1 (mod P); after step
@@ -104,8 +114,18 @@ def ring_attention(
         )
         # lax.scan (not fori_loop) so the ring is reverse-differentiable —
         # the backward replays the rotation in reverse via the transposed
-        # permutation XLA derives from ppermute.
-        (m, l, acc, _, _), _ = jax.lax.scan(body, carry, None, length=p_devices)
+        # permutation XLA derives from ppermute. The last shard is
+        # contracted outside the scan: its rotation result would be
+        # discarded, so 2*(P-1) permutes suffice, not 2*P.
+        (m, l, acc, k_blk, v_blk), _ = jax.lax.scan(
+            body, carry, None, length=p_devices - 1
+        )
+        m_i, l_i, pv_i = _local_pass(q_loc, k_blk, v_blk, scale)
+        m_new = jnp.maximum(m, m_i)
+        a_old = jnp.exp(m - m_new)
+        a_new = jnp.exp(m_i - m_new)
+        l = l * a_old + l_i * a_new
+        acc = acc * a_old[..., None] + pv_i * a_new[..., None]
         return (acc / l[..., None]).astype(v_loc.dtype)
 
     seq_spec = P(None, None, axis_name, None)
@@ -116,4 +136,4 @@ def ring_attention(
         out_specs=seq_spec,
         check_vma=False,
     )
-    return jax.jit(sharded)(q, k, v)
+    return jax.jit(sharded)

@@ -74,15 +74,20 @@ def memory_stats(device: Optional[jax.Device] = None) -> dict:
     }
 
 
-def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> bool:
+def enable_compilation_cache(path: str | None = None) -> bool:
     """Persist compiled executables across processes.
 
-    On this environment's tunneled backend a cold compile of ViT-L takes
-    tens of seconds (minutes during degraded episodes); the persistent
-    cache makes repeat benchmark/serving runs immune to compile-service
-    latency. Safe no-op if the backend can't serialize executables."""
+    On a tunneled backend a cold compile of ViT-L takes tens of seconds
+    (minutes during degraded episodes); the persistent cache makes repeat
+    benchmark/serving runs immune to compile-service latency. Safe no-op if
+    the backend can't serialize executables. Default cache dir is
+    ``~/.cache/vit_tpu_jax_cache`` (portable — no repo path baked in)."""
     import os
 
+    if path is None:
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "vit_tpu_jax_cache"
+        )
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

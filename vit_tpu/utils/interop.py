@@ -24,7 +24,7 @@ head-major order (both sides reshape the inner axis as ``(heads, dim_head)``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -38,7 +38,7 @@ def _np(t) -> np.ndarray:
 def hf_vit_config(hf_config) -> Dict[str, Any]:
     """Our ``ViT`` constructor kwargs for an HF ``ViTConfig``."""
     if hf_config.hidden_size % hf_config.num_attention_heads:
-        raise ValueError("hidden_size must divide num_attention_heads")
+        raise ValueError("hidden_size must be divisible by num_attention_heads")
     return dict(
         image_size=hf_config.image_size,
         patch_size=hf_config.patch_size,
@@ -56,12 +56,16 @@ def hf_vit_config(hf_config) -> Dict[str, Any]:
 
 
 def import_hf_vit_params(state_dict: Dict[str, Any], depth: int,
-                         patch_size: int) -> Dict[str, Any]:
+                         patch_size: int,
+                         num_classes: Optional[int] = None) -> Dict[str, Any]:
     """Map an HF ViT ``state_dict`` onto our ``ViT`` variables.
 
     Accepts both ``ViTForImageClassification`` (keys under ``vit.`` plus
-    ``classifier.*``) and a bare ``ViTModel`` (no prefix, no head — the
-    head is zero-initialized, ``num_classes`` must still match).
+    ``classifier.*``) and a bare ``ViTModel`` (no prefix, no head): the
+    head is then zero-initialized at ``num_classes`` width so the tree
+    matches the model built from ``hf_vit_config`` (whose ``num_classes``
+    comes from the HF config's ``num_labels``, default 2) — apply works
+    and returns all-zero logits until the head is trained.
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
     prefix = "vit." if any(k.startswith("vit.") for k in sd) else ""
@@ -131,10 +135,11 @@ def import_hf_vit_params(state_dict: Dict[str, Any], depth: int,
             "kernel": sd["classifier.weight"].T,
             "bias": sd.get("classifier.bias", np.zeros(sd["classifier.weight"].shape[0], np.float32)),
         }
-    else:  # bare ViTModel: no head in the checkpoint
+    else:  # bare ViTModel: no head in the checkpoint — zero-init one
+        width = 0 if num_classes is None else num_classes
         params["head"] = {
-            "kernel": np.zeros((dim, 0), np.float32),
-            "bias": np.zeros((0,), np.float32),
+            "kernel": np.zeros((dim, width), np.float32),
+            "bias": np.zeros((width,), np.float32),
         }
     return {"params": params}
 
@@ -150,6 +155,7 @@ def vit_from_hf(hf_model, dtype=None, residual_dtype=None) -> Tuple[Any, Dict[st
     cfg = hf_vit_config(hf_model.config)
     model = ViT(**cfg, dtype=dtype, residual_dtype=residual_dtype)
     variables = import_hf_vit_params(
-        hf_model.state_dict(), depth=cfg["depth"], patch_size=cfg["patch_size"]
+        hf_model.state_dict(), depth=cfg["depth"],
+        patch_size=cfg["patch_size"], num_classes=cfg["num_classes"],
     )
     return model, variables

@@ -42,10 +42,27 @@ def quantize_vit(variables: Dict[str, Any]) -> Dict[str, Any]:
     """
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])  # copy
     blocks = params["encoder"]["blocks"]
+    attn = blocks["attn"]
+    if "to_qkv" in attn:
+        # flax submodule layout — the qkv_bias=True path (HF/timm imports,
+        # utils/interop.py). Normalize to the raw-param names so the
+        # quantized encoder consumes one layout.
+        blocks["attn"] = attn = {
+            "norm_scale": attn["norm"]["scale"],
+            "norm_bias": attn["norm"]["bias"],
+            "qkv_kernel": attn["to_qkv"]["kernel"],
+            **(
+                {"qkv_bias": attn["to_qkv"]["bias"]}
+                if "bias" in attn["to_qkv"]
+                else {}
+            ),
+            "out_kernel": attn["to_out"]["kernel"],
+            "out_bias": attn["to_out"]["bias"],
+        }
     quant: Dict[str, Any] = {}
     for name, owner, key in [
-        ("to_qkv", blocks["attn"], "qkv_kernel"),
-        ("to_out", blocks["attn"], "out_kernel"),
+        ("to_qkv", attn, "qkv_kernel"),
+        ("to_out", attn, "out_kernel"),
         ("w1", blocks["ff"], "w1"),
         ("w2", blocks["ff"], "w2"),
     ]:
