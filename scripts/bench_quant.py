@@ -48,6 +48,9 @@ def main():
     apply_f = jax.jit(model.apply)
     apply_q = jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))
     apply_w8 = jax.jit(lambda v, x: vit_apply_w8a8(model, v, x, mode="w8"))
+    apply_qk = jax.jit(
+        lambda v, x: vit_apply_w8a8(model, v, x, mode="w8a8_kernel")
+    )
 
     for batch in (128, 8, 1):
         img = jnp.asarray(
@@ -56,10 +59,16 @@ def main():
         dt_f = timed(apply_f, variables, img)
         dt_q = timed(apply_q, qvars, img)
         dt_w8 = timed(apply_w8, qvars, img)
+        try:
+            dt_qk = timed(apply_qk, qvars, img)
+            qk = f"  w8a8-kernel {batch/dt_qk:8.1f} img/s ({dt_f/dt_qk:4.2f}x)"
+        except Exception as e:  # Mosaic int8 lowering unproven on HW
+            qk = f"  w8a8-kernel FAILED ({type(e).__name__})"
         print(
             f"B={batch:4d}  bf16-kernels {batch/dt_f:8.1f} img/s ({dt_f*1e3:7.2f} ms)"
             f"  w8a8 {batch/dt_q:8.1f} img/s ({dt_q*1e3:7.2f} ms, {dt_f/dt_q:4.2f}x)"
-            f"  w8 {batch/dt_w8:8.1f} img/s ({dt_w8*1e3:7.2f} ms, {dt_f/dt_w8:4.2f}x)",
+            f"  w8 {batch/dt_w8:8.1f} img/s ({dt_w8*1e3:7.2f} ms, {dt_f/dt_w8:4.2f}x)"
+            + qk,
             flush=True,
         )
 

@@ -223,3 +223,100 @@ def test_w8a8_simple_vit_logits_close():
     assert got.shape == ref.shape
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / scale < 0.05
+
+
+def test_fused_quant_block_kernel_interpret():
+    """The W8A8 fused attention-block kernel (interpret mode) matches the
+    same math composed from the XLA primitives (ops/quant.py)."""
+    from vit_tpu.nn.blocks import _layer_norm
+    from vit_tpu.ops.quant import int8_matmul
+    from vit_tpu.ops.quant_block import fused_quant_attention_block
+
+    rng = np.random.default_rng(17)
+    b, n, dim, heads, d = 2, 64, 64, 4, 16
+    hd = heads * d
+    x = jnp.asarray(rng.normal(0, 1, (b, n, dim)).astype(np.float32))
+    ln_s = jnp.asarray(rng.normal(1, 0.1, (dim,)).astype(np.float32))
+    ln_b = jnp.asarray(rng.normal(0, 0.1, (dim,)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(0, 0.08, (dim, 3 * hd)).astype(np.float32))
+    wout = jnp.asarray(rng.normal(0, 0.08, (hd, dim)).astype(np.float32))
+    bout = jnp.asarray(rng.normal(0, 0.1, (dim,)).astype(np.float32))
+
+    wqkv_i8, sqkv = quantize_channelwise(wqkv)
+    wout_i8, sout = quantize_channelwise(wout)
+
+    got = np.asarray(fused_quant_attention_block(
+        x, ln_s, ln_b, wqkv_i8, sqkv, wout_i8, sout, bout, heads,
+        interpret=True,
+    ))
+
+    # same math through the XLA primitives
+    xn = _layer_norm(x, ln_s, ln_b, 1e-6)
+    qkv = int8_matmul(xn, wqkv_i8, sqkv, out_dtype=jnp.float32)
+    qh, kh, vh = (
+        qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)[i]
+        for i in range(3)
+    )
+    s = jnp.einsum("bhid,bhjd->bhij", qh, kh) * d**-0.5
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhij,bhjd->bhid", p, vh)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, hd)
+    ref = int8_matmul(ctx, wout_i8, sout, bias=bout, out_dtype=jnp.float32) + x
+
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_fused_quant_block_kernel_padded_tokens():
+    """Unaligned token counts pad to the int8 sublane tile in-kernel with
+    masked softmax columns — real rows must be unaffected."""
+    from vit_tpu.ops.quant_block import fused_quant_attention_block
+
+    rng = np.random.default_rng(19)
+    b, dim, heads, d = 2, 64, 4, 16
+    hd = heads * d
+    ln_s = jnp.ones((dim,), jnp.float32)
+    ln_b = jnp.zeros((dim,), jnp.float32)
+    wqkv_i8, sqkv = quantize_channelwise(
+        jnp.asarray(rng.normal(0, 0.08, (dim, 3 * hd)).astype(np.float32)))
+    wout_i8, sout = quantize_channelwise(
+        jnp.asarray(rng.normal(0, 0.08, (hd, dim)).astype(np.float32)))
+    bout = jnp.zeros((dim,), jnp.float32)
+
+    x50 = jnp.asarray(rng.normal(0, 1, (b, 50, dim)).astype(np.float32))
+    out50 = np.asarray(fused_quant_attention_block(
+        x50, ln_s, ln_b, wqkv_i8, sqkv, wout_i8, sout, bout, heads,
+        interpret=True,
+    ))
+    assert out50.shape == (b, 50, dim)
+
+    # padding the input manually + true_n gives the same real rows
+    x64 = jnp.pad(x50, ((0, 0), (0, 14), (0, 0)))
+    out64 = np.asarray(fused_quant_attention_block(
+        x64, ln_s, ln_b, wqkv_i8, sqkv, wout_i8, sout, bout, heads,
+        true_n=50, interpret=True,
+    ))
+    np.testing.assert_allclose(out50, out64[:, :50], atol=1e-5)
+
+
+def test_w8a8_kernel_mode_matches_xla_mode():
+    """mode='w8a8_kernel' (fused Pallas attention block, interpret on CPU)
+    tracks the XLA w8a8 forward closely — same quantization scheme, only
+    op-ordering/rounding differs."""
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit()
+    img = jnp.asarray(
+        np.random.default_rng(23).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    qvars = quantize_vit(variables)
+    xla = np.asarray(jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))(qvars, img))
+    krn = np.asarray(
+        jax.jit(lambda v, x: vit_apply_w8a8(model, v, x, mode="w8a8_kernel"))(
+            qvars, img
+        )
+    )
+    assert krn.shape == xla.shape
+    # both are int8 forwards of the same tree; the kernel quantizes the
+    # fp32 LN output directly while XLA quantizes after a dtype cast
+    assert np.abs(krn - xla).max() < 0.02

@@ -97,6 +97,7 @@ def _encoder_w8a8(
     dtype,
     activation: str,
     qmm,
+    kernel_block: bool = False,
 ) -> jax.Array:
     """The scanned quantized encoder shared by every vanilla-stack model
     (ViT, SimpleViT): pre-norm attention + MLP with all four GEMMs through
@@ -109,13 +110,27 @@ def _encoder_w8a8(
          ln1s, ln1b, b1, b2,
          qkv_w, qkv_s, out_w, out_s, w1_w, w1_s, w2_w, w2_s) = wq
 
-        # --- attention: int8 qkv GEMM -> the dispatching fused-qkv
-        # attention (zero-copy head-sliced kernel on TPU, XLA elsewhere) ---
-        xn = _layer_norm(x, norm_scale, norm_bias, eps).astype(dtype)
-        qkv = qmm(xn, qkv_w, qkv_s, bias=qkv_b, out_dtype=dtype)
-        ctx = ops.qkv_attention(qkv, heads, scale=scale)
-        out = qmm(ctx, out_w, out_s, bias=out_b, out_dtype=jnp.float32)
-        x = (x.astype(jnp.float32) + out).astype(dtype)
+        if kernel_block:
+            # whole attention block in one Pallas call: LN, per-token int8
+            # quant, both int8 GEMMs, softmax-attention, residual — all in
+            # VMEM (ops/quant_block.py). No qkv-bias input, like the float
+            # block kernel.
+            from vit_tpu.ops.quant_block import fused_quant_attention_block
+
+            assert qkv_b is None, "kernel block path has no qkv-bias input"
+            x = fused_quant_attention_block(
+                x, norm_scale, norm_bias, qkv_w, qkv_s, out_w, out_s,
+                out_b, heads, scale=scale, ln_eps=eps,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(dtype)
+        else:
+            # int8 qkv GEMM -> the dispatching fused-qkv attention
+            # (zero-copy head-sliced kernel on TPU, XLA elsewhere)
+            xn = _layer_norm(x, norm_scale, norm_bias, eps).astype(dtype)
+            qkv = qmm(xn, qkv_w, qkv_s, bias=qkv_b, out_dtype=dtype)
+            ctx = ops.qkv_attention(qkv, heads, scale=scale)
+            out = qmm(ctx, out_w, out_s, bias=out_b, out_dtype=jnp.float32)
+            x = (x.astype(jnp.float32) + out).astype(dtype)
 
         # --- MLP ---
         xn = _layer_norm(x, ln1s, ln1b, eps).astype(dtype)
@@ -150,12 +165,17 @@ def vit_apply_w8a8(
     drops to pure weight rounding (~1e-3 logit scale) and the win is the
     halved weight HBM footprint/traffic — the dominant term at serving
     batch sizes — independent of whether XLA reaches the int8 MXU.
+
+    ``mode="w8a8_kernel"`` runs each attention block as ONE fused Pallas
+    call (ops/quant_block.py: LN, in-VMEM per-token quant, both int8 GEMMs,
+    softmax, residual); the MLP GEMMs stay on the XLA int8 path. Requires
+    the raw-param layout (no qkv bias).
     """
-    assert mode in ("w8a8", "w8")
+    assert mode in ("w8a8", "w8", "w8a8_kernel")
     p, q = qvars["params"], qvars["quant"]
     dtype = model.dtype or jnp.float32
     eps = model.norm_eps
-    qmm = _make_qmm(mode, dtype)
+    qmm = _make_qmm("w8a8" if mode == "w8a8_kernel" else mode, dtype)
 
     # patch embed: patchify + float GEMM with fp32 epilogue (PatchEmbed)
     x = ops.patchify(img, model.patch_size)
@@ -177,6 +197,7 @@ def vit_apply_w8a8(
         x, p["encoder"]["blocks"], q, heads=model.heads,
         dim_head=model.dim_head, eps=eps, dtype=dtype,
         activation=model.activation, qmm=qmm,
+        kernel_block=(mode == "w8a8_kernel"),
     )
 
     x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
