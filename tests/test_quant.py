@@ -320,3 +320,33 @@ def test_w8a8_kernel_mode_matches_xla_mode():
     # both are int8 forwards of the same tree; the kernel quantizes the
     # fp32 LN output directly while XLA quantizes after a dtype cast
     assert np.abs(krn - xla).max() < 0.02
+
+
+def test_fused_quant_mlp_interpret():
+    """The W8A8 fused MLP kernel (interpret mode) matches the same math
+    composed from the XLA primitives."""
+    from vit_tpu.nn.blocks import _layer_norm
+    from vit_tpu.ops.quant import int8_matmul
+    from vit_tpu.ops.quant_block import fused_quant_mlp
+
+    rng = np.random.default_rng(29)
+    b, n, dim, m = 2, 50, 64, 128  # 100 rows: exercises the row padding
+    x = jnp.asarray(rng.normal(0, 1, (b, n, dim)).astype(np.float32))
+    ln_s = jnp.asarray(rng.normal(1, 0.1, (dim,)).astype(np.float32))
+    ln_b = jnp.asarray(rng.normal(0, 0.1, (dim,)).astype(np.float32))
+    w1_i8, s1 = quantize_channelwise(
+        jnp.asarray(rng.normal(0, 0.08, (dim, m)).astype(np.float32)))
+    b1 = jnp.asarray(rng.normal(0, 0.1, (m,)).astype(np.float32))
+    w2_i8, s2 = quantize_channelwise(
+        jnp.asarray(rng.normal(0, 0.08, (m, dim)).astype(np.float32)))
+    b2 = jnp.asarray(rng.normal(0, 0.1, (dim,)).astype(np.float32))
+
+    got = np.asarray(fused_quant_mlp(
+        x, ln_s, ln_b, w1_i8, s1, b1, w2_i8, s2, b2, interpret=True,
+    ))
+
+    xn = _layer_norm(x, ln_s, ln_b, 1e-6)
+    h = int8_matmul(xn, w1_i8, s1, bias=b1, out_dtype=jnp.float32)
+    h = jax.nn.gelu(h)
+    ref = int8_matmul(h, w2_i8, s2, bias=b2, out_dtype=jnp.float32) + x
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)

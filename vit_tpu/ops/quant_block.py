@@ -194,6 +194,120 @@ def _impl(
     return out[:, :n_in] if n != n_in else out
 
 
+def _mlp_kernel(
+    x_ref,        # (T, D) float stream tile
+    ln_scale_ref,  # (1, D)
+    ln_bias_ref,   # (1, D)
+    w1_ref,        # (D, M) int8
+    s1_ref,        # (1, M) fp32
+    b1_ref,        # (1, M) fp32
+    w2_ref,        # (M, D) int8
+    s2_ref,        # (1, D) fp32
+    b2_ref,        # (1, D) fp32
+    o_ref,         # (T, D)
+    *,
+    activation: str,
+    ln_eps: float,
+):
+    x = x_ref[:].astype(jnp.float32)
+    xn = _ln_f32(
+        x, ln_scale_ref[0].astype(jnp.float32),
+        ln_bias_ref[0].astype(jnp.float32), ln_eps,
+    )
+    x_i8, s_row = _quant_rows_f32(xn)
+    h = jax.lax.dot(x_i8, w1_ref[:], preferred_element_type=jnp.int32)
+    h = h.astype(jnp.float32) * s_row * s1_ref[0] + b1_ref[0]
+    if activation == "gelu":
+        h = jax.nn.gelu(h)
+    elif activation == "gelu_exact":
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        raise ValueError(activation)
+    h_i8, s_row2 = _quant_rows_f32(h)
+    out = jax.lax.dot(h_i8, w2_ref[:], preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * s_row2 * s2_ref[0] + b2_ref[0]
+    o_ref[:] = (out + x).astype(o_ref.dtype)  # residual, fused
+
+
+@functools.partial(
+    jax.jit, static_argnames=("activation", "ln_eps", "interpret")
+)
+def _mlp_impl(
+    x, ln_scale, ln_bias, w1_i8, s1, b1, w2_i8, s2, b2,
+    activation, ln_eps, interpret,
+):
+    b, n, dim = x.shape
+    m = w1_i8.shape[1]
+    rows = b * n
+    xf = x.reshape(rows, dim)
+    # token tile: weights (D*M + M*D int8) stay resident; per-tile fp32
+    # stream/hidden panels bound T. 256 keeps (T*M fp32 = 4MB @ M=4096)
+    # comfortable; round rows up to the tile.
+    block_t = 256 if rows >= 256 else max(32, (rows + 31) // 32 * 32)
+    pad = (block_t - rows % block_t) % block_t
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, activation=activation, ln_eps=ln_eps),
+        grid=((rows + pad) // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows + pad, dim), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * dim * m,
+            bytes_accessed=2 * rows * dim * x.dtype.itemsize
+            + w1_i8.size + w2_i8.size,
+            transcendentals=rows * m,
+        ),
+        interpret=interpret,
+    )(
+        xf,
+        ln_scale.reshape(1, dim),
+        ln_bias.reshape(1, dim),
+        w1_i8,
+        s1.reshape(1, m),
+        b1.reshape(1, m),
+        w2_i8,
+        s2.reshape(1, dim),
+        b2.reshape(1, dim),
+    )
+    return out[:rows].reshape(b, n, dim)
+
+
+def fused_quant_mlp(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1_i8: jax.Array,
+    s1: jax.Array,
+    b1: jax.Array,
+    w2_i8: jax.Array,
+    s2: jax.Array,
+    b2: jax.Array,
+    *,
+    activation: str = "gelu",
+    ln_eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x + W2_i8(gelu(W1_i8(quant(LN(x)))))`` in one kernel — the int8
+    MLP twin (inference-only; see module docstring for status)."""
+    return _mlp_impl(
+        x, ln_scale, ln_bias, w1_i8, s1, b1, w2_i8, s2, b2,
+        activation, ln_eps, interpret,
+    )
+
+
 def fused_quant_attention_block(
     x: jax.Array,
     ln_scale: jax.Array,

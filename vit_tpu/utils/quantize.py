@@ -133,11 +133,20 @@ def _encoder_w8a8(
             x = (x.astype(jnp.float32) + out).astype(dtype)
 
         # --- MLP ---
-        xn = _layer_norm(x, ln1s, ln1b, eps).astype(dtype)
-        h = qmm(xn, w1_w, w1_s, bias=b1, out_dtype=jnp.float32)
-        h = _activate(h, activation).astype(dtype)
-        out = qmm(h, w2_w, w2_s, bias=b2, out_dtype=jnp.float32)
-        x = (x.astype(jnp.float32) + out).astype(dtype)
+        if kernel_block:
+            from vit_tpu.ops.quant_block import fused_quant_mlp
+
+            x = fused_quant_mlp(
+                x, ln1s, ln1b, w1_w, w1_s, b1, w2_w, w2_s, b2,
+                activation=activation, ln_eps=eps,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(dtype)
+        else:
+            xn = _layer_norm(x, ln1s, ln1b, eps).astype(dtype)
+            h = qmm(xn, w1_w, w1_s, bias=b1, out_dtype=jnp.float32)
+            h = _activate(h, activation).astype(dtype)
+            out = qmm(h, w2_w, w2_s, bias=b2, out_dtype=jnp.float32)
+            x = (x.astype(jnp.float32) + out).astype(dtype)
         return x, ()
 
     xs = (
