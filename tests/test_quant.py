@@ -350,3 +350,51 @@ def test_fused_quant_mlp_interpret():
     h = jax.nn.gelu(h)
     ref = int8_matmul(h, w2_i8, s2, bias=b2, out_dtype=jnp.float32) + x
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_w8a8_dp_tp_tensor_sharded():
+    """Tensor-parallel quantized inference: the int8 weight tables shard
+    over the model axis (qkv/w1 column-parallel, out/w2 row-parallel) on a
+    dp x tp mesh; GSPMD inserts the partial-sum reductions and the sharded
+    logits match single-device."""
+    import jax.sharding as shd
+
+    from vit_tpu.parallel.mesh import make_mesh
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = _small_vit()
+    img = jnp.asarray(
+        np.random.default_rng(31).normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    qvars = quantize_vit(variables)
+    single = np.asarray(jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))(qvars, img))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    P = shd.PartitionSpec
+    col = shd.NamedSharding(mesh, P(None, None, "model"))  # (depth, K, N): N sharded
+    row = shd.NamedSharding(mesh, P(None, "model", None))  # (depth, K, N): K sharded
+    repl = shd.NamedSharding(mesh, P())
+    data = shd.NamedSharding(mesh, P("data"))
+
+    def place(tree):
+        q = tree["quant"]
+        placed = {
+            "to_qkv": {"w": jax.device_put(q["to_qkv"]["w"], col),
+                       "s": jax.device_put(q["to_qkv"]["s"], col)},
+            "w1": {"w": jax.device_put(q["w1"]["w"], col),
+                   "s": jax.device_put(q["w1"]["s"], col)},
+            "to_out": {"w": jax.device_put(q["to_out"]["w"], row),
+                       "s": jax.device_put(q["to_out"]["s"], repl)},
+            "w2": {"w": jax.device_put(q["w2"]["w"], row),
+                   "s": jax.device_put(q["w2"]["s"], repl)},
+        }
+        params = jax.device_put(tree["params"], repl)
+        return {"params": params, "quant": placed}
+
+    fn = jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))
+    sharded = np.asarray(fn(place(qvars), jax.device_put(img, data)))
+    np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=1e-4)
+
+    hlo = fn.lower(place(qvars), jax.device_put(img, data)).compile().as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
