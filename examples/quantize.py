@@ -23,7 +23,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--large", action="store_true", help="ViT-L/16 @224")
-    ap.add_argument("--mode", default="w8a8", choices=["w8a8", "w8"])
+    ap.add_argument("--mode", default="w8a8", choices=["w8a8", "w8", "w8a8_kernel"])
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 

@@ -58,6 +58,43 @@ def main():
                      xb, wi, dtype_cast=jnp.bfloat16)
     print(f"int8-weight bf16-act {ms:7.3f} ms  {flops / ms / 1e9:8.1f} GF/s")
 
+    # Mosaic int8: does pallas lower an int8 x int8 -> int32 dot at all,
+    # and at what rate? (gates ops/quant_block.py's kernel path)
+    try:
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        mm, kk, nn = 4096, 1024, 1024
+
+        def _k(a_ref, b_ref, o_ref):
+            o_ref[:] = jax.lax.dot(
+                a_ref[:], b_ref[:], preferred_element_type=jnp.int32
+            )
+
+        def pallas_i8(a, b):
+            return pl.pallas_call(
+                _k,
+                in_specs=[
+                    pl.BlockSpec((mm, kk), lambda: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kk, nn), lambda: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((mm, nn), lambda: (0, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((mm, nn), jnp.int32),
+            )(a, b)
+
+        ai = (x32[:mm, :kk] * 16).astype(jnp.int8)
+        bi = (w32[:kk, :nn] * 16).astype(jnp.int8)
+        fl = 2 * mm * kk * nn
+        ms = chain_timed(
+            lambda c, w: (pallas_i8(c, w) >> 8).astype(jnp.int8), ai, bi
+        )
+        print(f"pallas int8 dot {ms:7.3f} ms  {fl / ms / 1e9:8.1f} GF(op)/s")
+    except Exception as e:
+        print(f"pallas int8 dot: FAILED to lower/run ({type(e).__name__}: "
+              f"{str(e)[:200]})")
+
 
 if __name__ == "__main__":
     main()
