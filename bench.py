@@ -85,6 +85,33 @@ def probe_service(threshold_ms=8.0, attempts=10, wait_s=150):
     return probe_ms, True
 
 
+def _arm_watchdog(seconds=2700):
+    """Hard wall-clock cap. During degraded tunnel episodes a single device
+    call can BLOCK indefinitely (observed: trivial matmuls never returning
+    for hours on 2026-08-17); a blocked PJRT call sits in C, so no Python
+    signal/timeout can interrupt it. The watchdog thread emits one
+    parseable failure line and exits the process rather than wedging the
+    driver."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "ViT-L/16 @224 bf16 inference throughput (batch 128, 1 chip)",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {seconds}s — degraded/hung "
+                     "TPU service episode (see PERFORMANCE.md)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from vit_tpu.models import ViT
     from vit_tpu.utils import (
@@ -94,6 +121,7 @@ def main():
         max_logit_err,
     )
 
+    watchdog = _arm_watchdog()
     enable_compilation_cache()  # repeat runs skip the (tunneled) compile
     probe_ms, degraded = probe_service()
 
@@ -154,6 +182,7 @@ def main():
     ref_vs_truth = max_logit_err(ref_logits, truth)
     mixed_vs_truth = max_logit_err(mixed_logits, truth)
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "ViT-L/16 @224 bf16 inference throughput (batch 128, 1 chip)",
         "value": round(our_ips, 2),
