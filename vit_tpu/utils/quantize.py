@@ -175,9 +175,9 @@ def vit_apply_w8a8(
     halved weight HBM footprint/traffic — the dominant term at serving
     batch sizes — independent of whether XLA reaches the int8 MXU.
 
-    ``mode="w8a8_kernel"`` runs each attention block as ONE fused Pallas
-    call (ops/quant_block.py: LN, in-VMEM per-token quant, both int8 GEMMs,
-    softmax, residual); the MLP GEMMs stay on the XLA int8 path. Requires
+    ``mode="w8a8_kernel"`` runs the whole encoder in two fused Pallas calls
+    per layer (ops/quant_block.py: attention block + MLP block — LN,
+    in-VMEM per-token quant, int8 GEMMs, softmax/GELU, residual). Requires
     the raw-param layout (no qkv bias).
     """
     assert mode in ("w8a8", "w8", "w8a8_kernel")
