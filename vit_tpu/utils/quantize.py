@@ -101,9 +101,26 @@ def _encoder_w8a8(
 ) -> jax.Array:
     """The scanned quantized encoder shared by every vanilla-stack model
     (ViT, SimpleViT): pre-norm attention + MLP with all four GEMMs through
-    ``qmm``, fp32 residual adds, per-layer weights sliced by ``lax.scan``."""
+    ``qmm``, fp32 residual adds, per-layer weights sliced by ``lax.scan``.
+
+    Kernel mode keeps the residual stream padded to the int8 Mosaic
+    sublane tile across the whole stack (pad once here, mask padded key
+    columns in every softmax via ``true_n``, slice once at the end) — the
+    same whole-encoder padding that won the float flagship its round-3
+    margin; per-layer pad/slice would cost a full-stream HBM copy pair
+    per layer. The MLP kernel is row-independent, so padded rows just
+    carry don't-care values through it.
+    """
     scale = dim_head**-0.5
     attn_p, ff_p = blocks["attn"], blocks["ff"]
+
+    true_n = None
+    if kernel_block:
+        n_in = x.shape[1]
+        n_pad = (n_in + 31) // 32 * 32  # int8 tiles want 32-row alignment
+        if n_pad != n_in:
+            true_n = n_in
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n_in), (0, 0)))
 
     def layer(x, wq):
         (norm_scale, norm_bias, qkv_b, out_b,
@@ -120,7 +137,7 @@ def _encoder_w8a8(
             assert qkv_b is None, "kernel block path has no qkv-bias input"
             x = fused_quant_attention_block(
                 x, norm_scale, norm_bias, qkv_w, qkv_s, out_w, out_s,
-                out_b, heads, scale=scale, ln_eps=eps,
+                out_b, heads, scale=scale, ln_eps=eps, true_n=true_n,
                 interpret=jax.default_backend() != "tpu",
             ).astype(dtype)
         else:
@@ -157,7 +174,7 @@ def _encoder_w8a8(
         q["w1"]["w"], q["w1"]["s"], q["w2"]["w"], q["w2"]["s"],
     )
     x, _ = jax.lax.scan(layer, x, xs)
-    return x
+    return x[:, :true_n] if true_n is not None else x
 
 
 def vit_apply_w8a8(
