@@ -103,3 +103,58 @@ def test_hf_import_quantizes():
     assert got.shape == ref.shape
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / scale < 0.05
+
+
+def test_export_roundtrip_state_dict():
+    """import -> export is the identity on an HF checkpoint (every tensor
+    bit-equal), so migration works in both directions."""
+    from transformers import ViTForImageClassification
+
+    from vit_tpu.utils.interop import export_vit_to_hf, vit_from_hf
+
+    hf_a = _hf_model()
+    _, variables = vit_from_hf(hf_a)
+    torch.manual_seed(123)
+    hf_b = ViTForImageClassification(hf_a.config)  # different random init
+    export_vit_to_hf(variables, hf_b)
+
+    sd_a, sd_b = hf_a.state_dict(), hf_b.state_dict()
+    assert sd_a.keys() == sd_b.keys()
+    for k in sd_a:
+        np.testing.assert_array_equal(
+            sd_a[k].numpy(), sd_b[k].numpy(), err_msg=k
+        )
+
+
+def test_export_native_vit_serves_from_torch():
+    """A natively-initialized (raw-param, biasless-qkv) ViT exports into an
+    HF model and the torch forward reproduces our logits."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import ViTConfig, ViTForImageClassification
+
+    from vit_tpu.models import ViT
+    from vit_tpu.utils.interop import export_vit_to_hf
+
+    model = ViT(
+        image_size=32, patch_size=8, num_classes=10, dim=64, depth=3,
+        heads=4, dim_head=16, mlp_dim=128,
+        activation="gelu_exact", norm_eps=1e-6,  # HF's erf GELU / eps
+    )
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 32, 32, 3))
+    )
+    cfg = ViTConfig(
+        hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8,
+        num_labels=10, layer_norm_eps=1e-6,
+    )
+    hf = ViTForImageClassification(cfg)
+    export_vit_to_hf(variables, hf)
+    hf.eval()
+
+    x = np.random.default_rng(4).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(jax.jit(model.apply)(variables, x))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)

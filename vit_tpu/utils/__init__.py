@@ -19,6 +19,7 @@ from vit_tpu.utils.health import (  # noqa: F401
     with_retry,
 )
 from vit_tpu.utils.interop import (  # noqa: F401
+    export_vit_to_hf,
     hf_vit_config,
     import_hf_vit_params,
     vit_from_hf,

@@ -144,6 +144,79 @@ def import_hf_vit_params(state_dict: Dict[str, Any], depth: int,
     return {"params": params}
 
 
+def export_vit_to_hf(variables: Dict[str, Any], hf_model) -> None:
+    """Inverse mapping: load this framework's ``ViT`` variables INTO an HF
+    ``ViTForImageClassification`` (in place) — migration works in both
+    directions, so checkpoints trained here serve from the torch ecosystem
+    too. Exact inverse of ``import_hf_vit_params`` (same layout notes);
+    round-trip and torch-logit parity asserted in ``tests/test_interop.py``.
+    """
+    import torch
+
+    p = variables["params"]
+    blocks = p["encoder"]["blocks"]
+    attn, ff = blocks["attn"], blocks["ff"]
+    # both param layouts: raw (qkv_kernel) and flax submodule (to_qkv)
+    if "qkv_kernel" in attn:
+        norm_s, norm_b = attn["norm_scale"], attn["norm_bias"]
+        qkv_k = attn["qkv_kernel"]
+        qkv_b = attn.get("qkv_bias")
+        out_k, out_b = attn["out_kernel"], attn["out_bias"]
+    else:
+        norm_s, norm_b = attn["norm"]["scale"], attn["norm"]["bias"]
+        qkv_k = attn["to_qkv"]["kernel"]
+        qkv_b = attn["to_qkv"].get("bias")
+        out_k, out_b = attn["to_out"]["kernel"], attn["to_out"]["bias"]
+
+    cfg = hf_model.config
+    dim = cfg.hidden_size
+    ps = cfg.patch_size
+    sd = {}
+    emb = "vit.embeddings."
+    enc = "vit.encoder.layer."
+    sd[emb + "cls_token"] = np.asarray(p["cls"], np.float32)
+    sd[emb + "position_embeddings"] = np.asarray(p["pos_embedding"], np.float32)
+    proj = np.asarray(p["patch_embed"]["proj"]["kernel"], np.float32)
+    c = proj.shape[0] // (ps * ps)
+    sd[emb + "patch_embeddings.projection.weight"] = (
+        proj.reshape(ps, ps, c, dim).transpose(3, 2, 0, 1)
+    )
+    sd[emb + "patch_embeddings.projection.bias"] = np.asarray(
+        p["patch_embed"]["proj"]["bias"], np.float32
+    )
+    depth = np.asarray(qkv_k).shape[0]
+    hd = np.asarray(qkv_k).shape[2] // 3
+    for i in range(depth):
+        l = f"{enc}{i}."
+        sd[l + "layernorm_before.weight"] = np.asarray(norm_s[i], np.float32)
+        sd[l + "layernorm_before.bias"] = np.asarray(norm_b[i], np.float32)
+        qkv = np.asarray(qkv_k[i], np.float32)  # (dim, 3*hd)
+        for j, name in enumerate(("query", "key", "value")):
+            sd[l + f"attention.attention.{name}.weight"] = (
+                qkv[:, j * hd : (j + 1) * hd].T
+            )
+            bias = (
+                np.asarray(qkv_b[i], np.float32)[j * hd : (j + 1) * hd]
+                if qkv_b is not None
+                else np.zeros(hd, np.float32)
+            )
+            sd[l + f"attention.attention.{name}.bias"] = bias
+        sd[l + "attention.output.dense.weight"] = np.asarray(out_k[i], np.float32).T
+        sd[l + "attention.output.dense.bias"] = np.asarray(out_b[i], np.float32)
+        sd[l + "layernorm_after.weight"] = np.asarray(ff["ln_scale"][i], np.float32)
+        sd[l + "layernorm_after.bias"] = np.asarray(ff["ln_bias"][i], np.float32)
+        sd[l + "intermediate.dense.weight"] = np.asarray(ff["w1"][i], np.float32).T
+        sd[l + "intermediate.dense.bias"] = np.asarray(ff["b1"][i], np.float32)
+        sd[l + "output.dense.weight"] = np.asarray(ff["w2"][i], np.float32).T
+        sd[l + "output.dense.bias"] = np.asarray(ff["b2"][i], np.float32)
+    sd["vit.layernorm.weight"] = np.asarray(p["head_norm"]["scale"], np.float32)
+    sd["vit.layernorm.bias"] = np.asarray(p["head_norm"]["bias"], np.float32)
+    sd["classifier.weight"] = np.asarray(p["head"]["kernel"], np.float32).T
+    sd["classifier.bias"] = np.asarray(p["head"]["bias"], np.float32)
+
+    hf_model.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()})
+
+
 def vit_from_hf(hf_model, dtype=None, residual_dtype=None) -> Tuple[Any, Dict[str, Any]]:
     """One call: HF ``ViTForImageClassification`` -> (our ViT, variables).
 
