@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
     ap.add_argument("--data", default=None, help="directory of JPEGs (synthetic if unset)")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--augment", action="store_true",
+                    help="in-graph flip + mixup/cutmix + label smoothing 0.1")
+    ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                    help="track an EMA of the params (e.g. 0.9999)")
     args = ap.parse_args()
 
     from vit_tpu.models import MODEL_REGISTRY
@@ -71,7 +75,25 @@ def main():
         labels = jnp.arange(args.batch) % args.classes
 
     state = create_train_state(model, jax.random.PRNGKey(1), images[:1], mesh=mesh)
-    step = make_train_step(model)
+
+    augment_fn = None
+    if args.augment:
+        from vit_tpu import augment as aug
+
+        def augment_fn(rng, imgs, lbls):
+            t = aug.one_hot(lbls, args.classes, smoothing=0.1)
+            k1, k2 = jax.random.split(rng)
+            return aug.mixup_or_cutmix(k2, aug.random_hflip(k1, imgs), t)
+
+    step = make_train_step(model, augment_fn=augment_fn)
+
+    ema = None
+    if args.ema is not None:
+        from vit_tpu.augment import Ema
+
+        ema = Ema.init(state.params, decay=args.ema)
+        ema_update = jax.jit(lambda e, p: e.update(p))
+
     if mesh is not None:
         images = shard_batch(images, mesh)
         labels = shard_batch(labels, mesh)
@@ -79,6 +101,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, loss = step(state, images, labels)
+        if ema is not None:
+            ema = ema_update(ema, state.params)
         if i == 0:
             np.asarray(loss)  # compile barrier
             print(f"compiled in {time.perf_counter() - t0:.1f}s")

@@ -404,3 +404,72 @@ def test_w8a8_dp_tp_tensor_sharded():
 
     hlo = fn.lower(place(qvars), jax.device_put(img, data)).compile().as_text()
     assert "all-reduce" in hlo or "reduce-scatter" in hlo
+
+
+# ---------------------------------------------------------------------------
+# generic weight-only compression (quantize_weights / quantized_apply)
+
+
+def test_quantize_weights_generic_vit():
+    from vit_tpu.models import ViT
+    from vit_tpu.utils.quantize import (
+        dequantize_weights, quantize_weights, quantized_apply, tree_nbytes,
+    )
+
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=128, depth=2,
+                heads=4, dim_head=32, mlp_dim=256)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    ref = model.apply(variables, img)
+
+    qvars = quantize_weights(variables, min_size=1024)
+    # something actually got quantized, and the tree shrank
+    flat = jax.tree_util.tree_leaves_with_path(qvars)
+    assert any("__w8__" in str(p) for p, _ in flat)
+    assert tree_nbytes(qvars) < 0.5 * tree_nbytes(variables)
+
+    # round trip keeps the forward close (pure weight-rounding error)
+    out = jax.jit(lambda qv, x: quantized_apply(model, qv, x))(qvars, img)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    span = float(jnp.max(jnp.abs(ref)))
+    assert err < 0.05 * max(span, 1.0), err
+
+    # dequantize restores the original tree structure
+    back = dequantize_weights(qvars)
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(
+        jax.tree.map(lambda x: x, variables)
+    )
+
+
+def test_quantize_weights_bn_model_and_window_model():
+    from vit_tpu.models.levit import LeViT
+    from vit_tpu.models.crossformer import CrossFormer
+    from vit_tpu.utils.quantize import quantize_weights, quantized_apply, tree_nbytes
+
+    # BN model: batch_stats must pass through untouched
+    levit = LeViT(image_size=64, num_classes=10, stages=2, dim=(64, 64), depth=1,
+                  heads=(1, 2), mlp_mult=2, dim_key=16, dim_value=16)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = levit.init({"params": jax.random.PRNGKey(1)}, img)
+    ref = levit.apply(variables, img)
+    qvars = quantize_weights(variables, min_size=1024)
+    assert jax.tree_util.tree_structure(
+        qvars["batch_stats"]
+    ) == jax.tree_util.tree_structure(variables["batch_stats"])
+    out = quantized_apply(levit, qvars, img)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 0.05 * max(float(jnp.max(jnp.abs(ref))), 1.0), err
+    assert tree_nbytes(qvars) < 0.75 * tree_nbytes(variables)
+
+    # window family (raw-param attention panels: q/k/v/out kernels)
+    cf = CrossFormer(num_classes=10, dim=(32, 64), depth=(1, 1),
+                     global_window_size=(4, 2), local_window_size=7,
+                     cross_embed_kernel_sizes=((4, 8), (2, 4)),
+                     cross_embed_strides=(4, 2))
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 112, 112, 3))
+    variables = cf.init({"params": jax.random.PRNGKey(3)}, img)
+    ref = cf.apply(variables, img)
+    qvars = quantize_weights(variables, min_size=1024)
+    out = quantized_apply(cf, qvars, img)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 0.05 * max(float(jnp.max(jnp.abs(ref))), 1.0), err

@@ -111,7 +111,16 @@ def create_train_state(
 
 
 def make_train_step(
-    model, optimizer=None, *, dropout_seed: int = 0, remat: bool = True
+    model,
+    optimizer=None,
+    *,
+    dropout_seed: int = 0,
+    remat: bool = True,
+    augment_fn: Callable = None,
+    teacher_apply: Callable = None,
+    distill_alpha: float = 0.5,
+    distill_tau: float = 1.0,
+    distill_hard: bool = True,
 ) -> Callable:
     """Jitted ``step(state, images, labels) -> (state, loss)``.
 
@@ -125,35 +134,73 @@ def make_train_step(
     without it, and WITH it is also 26% faster — XLA fuses the recomputed
     forward into the backward GEMMs; PERFORMANCE.md). Set ``remat=False``
     for small models where the recompute FLOPs could outweigh the savings.
+
+    ``augment_fn(rng, images, labels) -> (images, target_probs)`` runs
+    batch augmentation *inside* the jitted step (so GSPMD shards it with
+    the batch) and switches the loss to soft targets — compose it from
+    ``vit_tpu.augment`` (mixup/cutmix/flip/erasing + ``one_hot``). The rng
+    is folded from ``state.step`` like dropout's, so steps stay
+    reproducible and retry-idempotent.
+
+    ``teacher_apply(images) -> teacher_logits`` enables distillation
+    against a frozen teacher (``vit_tpu.augment.distillation_loss``). For a
+    two-head student (LeViT with ``num_distill_classes``) the distill head
+    trains on the teacher; single-head students distill on their one head.
     """
     optimizer = optimizer or make_optimizer()
 
     @jax.jit
     def step(state: TrainState, images: jax.Array, labels: jax.Array):
         has_state = bool(jax.tree_util.tree_leaves(state.model_state))
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+
+        if augment_fn is not None:
+            aug_images, targets = augment_fn(
+                jax.random.fold_in(step_rng, 1), images, labels
+            )
+        else:
+            aug_images, targets = images, labels
 
         def loss_fn(params):
-            rngs = {
-                "dropout": jax.random.fold_in(
-                    jax.random.PRNGKey(dropout_seed), state.step
-                )
-            }
+            rngs = {"dropout": step_rng}
             scope = remat_scope() if remat else contextlib.nullcontext()
             with ops.force_backend("xla"), scope:
                 if has_state:
                     # BatchNorm models: thread mutable state through the step
                     logits, new_state = model.apply(
                         {"params": params, **state.model_state},
-                        images, True,
+                        aug_images, True,
                         mutable=list(state.model_state.keys()),
                         rngs=rngs,
                     )
                 else:
-                    logits = model.apply({"params": params}, images, True, rngs=rngs)
+                    logits = model.apply({"params": params}, aug_images, True, rngs=rngs)
                     new_state = state.model_state
+            distill_logits = None
             if isinstance(logits, tuple):  # LeViT distillation head
-                logits = logits[0]
-            return cross_entropy_loss(logits, labels), new_state
+                logits, distill_logits = logits
+            if teacher_apply is not None:
+                from vit_tpu.augment import distillation_loss, one_hot
+
+                t = targets if augment_fn is not None else one_hot(
+                    labels, logits.shape[-1]
+                )
+                loss = distillation_loss(
+                    logits,
+                    logits if distill_logits is None else distill_logits,
+                    t,
+                    teacher_apply(aug_images),
+                    alpha=distill_alpha,
+                    tau=distill_tau,
+                    hard=distill_hard,
+                )
+            elif augment_fn is not None:
+                from vit_tpu.augment import soft_cross_entropy
+
+                loss = soft_cross_entropy(logits, targets)
+            else:
+                loss = cross_entropy_loss(logits, labels)
+            return loss, new_state
 
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

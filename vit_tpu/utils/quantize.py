@@ -233,6 +233,99 @@ def vit_apply_w8a8(
     return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
 
 
+# ---------------------------------------------------------------------------
+# Generic weight-only compression (every family)
+
+_W8_KEYS = ("kernel", "w1", "w2", "qkv_kernel", "out_kernel", "q_kernel",
+            "k_kernel", "v_kernel")
+
+
+def _quantize_leaf(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8 over ALL leading axes (covers
+    Dense (K,N), conv (H,W,I,O), and scan-stacked (depth,K,N) kernels —
+    one scale per trailing-axis channel)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_i8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"__w8__": w_i8, "__scale__": scale.astype(jnp.float32)}
+
+
+def quantize_weights(
+    variables: Dict[str, Any], *, min_size: int = 16384, keys=_W8_KEYS
+) -> Dict[str, Any]:
+    """Weight-only int8 compression for ANY family's variables tree.
+
+    Unlike ``quantize_vit`` (which rebuilds the vanilla-stack encoder around
+    int8 GEMMs), this is a pure tree transform: every float kernel named in
+    ``keys`` with ``ndim >= 2`` and ``size >= min_size`` is replaced in
+    place by ``{"__w8__": int8, "__scale__": per-channel fp32}``. Norm
+    scales/biases, BatchNorm statistics, embeddings, position tables and
+    small layers stay float — they carry the numerics and almost none of
+    the bytes. Works on all 17 families + the BN models (CvT/LeViT trees
+    pass through with ``batch_stats`` untouched).
+
+    The win is ~4x smaller checkpoints/HBM weight residency vs fp32 (~2x
+    vs bf16) at pure weight-rounding error; run the forward with
+    ``quantized_apply`` (in-graph dequantize — XLA keeps the int8 tables
+    resident and converts on the fly).
+    """
+
+    def walk(node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            return {
+                k: (
+                    _quantize_leaf(v)
+                    if (
+                        k in keys
+                        and hasattr(v, "ndim")
+                        and v.ndim >= 2
+                        and v.size >= min_size
+                        and jnp.issubdtype(v.dtype, jnp.floating)
+                    )
+                    else walk(v)
+                )
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(variables)
+
+
+def dequantize_weights(qvars: Dict[str, Any], dtype=jnp.float32) -> Dict[str, Any]:
+    """Inverse of ``quantize_weights``: reconstruct a float variables tree
+    (in-graph when traced — jit callers keep int8 in HBM)."""
+
+    def walk(node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            if "__w8__" in node:
+                return (node["__w8__"].astype(jnp.float32) * node["__scale__"]).astype(dtype)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(qvars)
+
+
+def quantized_apply(model, qvars: Dict[str, Any], *args, dtype=jnp.float32, **kwargs):
+    """Run any model's ``apply`` from a ``quantize_weights`` tree.
+
+    Dequantization happens in-graph, so under ``jit`` the int8 tables are
+    the resident weights and the float view is a transient the scheduler
+    can fuse/stream. Jit it like any apply:
+    ``jax.jit(lambda qv, img: quantized_apply(model, qv, img))``.
+    """
+    return model.apply(dequantize_weights(qvars, dtype=dtype), *args, **kwargs)
+
+
+def tree_nbytes(tree: Any) -> int:
+    """Total bytes of every array leaf (checkpoint-size accounting)."""
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(tree)
+        if hasattr(x, "dtype")
+    )
+
+
 def simple_vit_apply_w8a8(
     model, qvars: Dict[str, Any], img: jax.Array, mode: str = "w8a8"
 ) -> jax.Array:
