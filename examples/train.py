@@ -35,7 +35,15 @@ def main():
                     help="in-graph flip + mixup/cutmix + label smoothing 0.1")
     ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
                     help="track an EMA of the params (e.g. 0.9999)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches per step")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (this environment's axon "
+                         "plugin overrides JAX_PLATFORMS, so the pin must go "
+                         "through jax.config before first device use)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from vit_tpu.models import MODEL_REGISTRY
     from vit_tpu.train import (
@@ -56,16 +64,19 @@ def main():
     if args.dp * args.tp > 1:
         mesh = make_mesh(n_data=args.dp, n_model=args.tp)
 
+    dataset = None
     if args.data:
         import pathlib
 
-        from vit_tpu.data import JpegDecoder
+        from vit_tpu.data import JpegFolderDataset
 
         files = sorted(pathlib.Path(args.data).glob("*.jpg"))
-        decoder = JpegDecoder(size=args.image_size)
-        raw = decoder([f.read_bytes() for f in files[: args.batch]])
-        images = jnp.asarray(raw, jnp.float32) / 255.0
-        labels = jnp.arange(images.shape[0]) % args.classes
+        # label = folder-order index mod classes (replace with a real label map)
+        dataset = JpegFolderDataset(
+            [(str(f), i % args.classes) for i, f in enumerate(files)],
+            args.batch, size=args.image_size,
+        )
+        images, labels = next(iter(dataset.epoch(0)))  # shapes for init
     else:
         images = jax.random.normal(
             jax.random.PRNGKey(0),
@@ -85,7 +96,7 @@ def main():
             k1, k2 = jax.random.split(rng)
             return aug.mixup_or_cutmix(k2, aug.random_hflip(k1, imgs), t)
 
-    step = make_train_step(model, augment_fn=augment_fn)
+    step = make_train_step(model, augment_fn=augment_fn, accum_steps=args.accum)
 
     ema = None
     if args.ema is not None:
@@ -98,9 +109,21 @@ def main():
         images = shard_batch(images, mesh)
         labels = shard_batch(labels, mesh)
 
+    if dataset is not None:
+        # shuffled epochs, background decode, device prefetch
+        stream = dataset.epochs(-(-args.steps // len(dataset)))
+        def next_batch():
+            _, imgs, lbls = next(stream)
+            if mesh is not None:
+                imgs, lbls = shard_batch(imgs, mesh), shard_batch(lbls, mesh)
+            return imgs, lbls
+    else:
+        def next_batch():
+            return images, labels
+
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, loss = step(state, images, labels)
+        state, loss = step(state, *next_batch())
         if ema is not None:
             ema = ema_update(ema, state.params)
         if i == 0:

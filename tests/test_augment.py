@@ -182,3 +182,34 @@ def test_distill_train_step_two_heads():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, state2.params
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_grad_accumulation_matches_full_batch():
+    model = ViT(image_size=16, patch_size=8, num_classes=4, dim=32, depth=2,
+                heads=2, dim_head=16, mlp_dim=64)
+    state = create_train_state(model, KEY, IMG[:2])
+    step1 = make_train_step(model, make_optimizer(1e-2), remat=False)
+    step4 = make_train_step(model, make_optimizer(1e-2), remat=False,
+                            accum_steps=4)
+    s1, l1 = step1(state, IMG, LABELS)
+    s4, l4 = step4(state, IMG, LABELS)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_grad_accumulation_bn_model():
+    model = LeViT(image_size=64, num_classes=4, stages=2, dim=(32, 32), depth=1,
+                  heads=(1, 2), mlp_mult=2, dim_key=16, dim_value=16)
+    big_img = jax.random.normal(jax.random.PRNGKey(4), (8, 64, 64, 3))
+    state = create_train_state(model, KEY, big_img[:2])
+    step = make_train_step(model, make_optimizer(1e-2), remat=False,
+                           accum_steps=2)
+    state2, loss = step(state, big_img, LABELS)
+    assert np.isfinite(float(loss))
+    # BatchNorm running stats moved through the scan
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.model_state, state2.model_state,
+    )
+    assert max(jax.tree.leaves(moved)) > 0

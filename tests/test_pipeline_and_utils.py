@@ -281,3 +281,78 @@ def test_classify_jpeg_stream_matches_batchwise():
     for got, jpegs in zip(streamed, batches):
         ref = classify_jpegs(pipe, jpegs, decoder=dec)
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestJpegFolderDataset:
+    def _samples(self, n=10, size=(48, 64)):
+        from PIL import Image
+        import io as _io
+
+        rng = np.random.default_rng(1)
+        samples = []
+        for i in range(n):
+            arr = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            samples.append((buf.getvalue(), i))  # label == sample index
+        return samples
+
+    def test_epoch_covers_every_sample_once_and_shapes(self):
+        from vit_tpu.data import JpegFolderDataset
+
+        ds = JpegFolderDataset(self._samples(12), batch_size=4, size=32, seed=3)
+        assert len(ds) == 3
+        seen = []
+        for images, labels in ds.epoch(0):
+            assert images.shape == (4, 32, 32, 3)
+            assert str(images.dtype) == "float32"
+            assert float(jnp.max(images)) <= 1.0
+            seen.extend(np.asarray(labels).tolist())
+        assert sorted(seen) == list(range(12))
+
+    def test_shuffle_deterministic_per_epoch_and_varies_across(self):
+        from vit_tpu.data import JpegFolderDataset
+
+        ds = JpegFolderDataset(self._samples(12), batch_size=12, size=32, seed=3)
+        l0a = np.asarray(next(iter(ds.epoch(0)))[1])
+        l0b = np.asarray(next(iter(ds.epoch(0)))[1])
+        l1 = np.asarray(next(iter(ds.epoch(1)))[1])
+        np.testing.assert_array_equal(l0a, l0b)
+        assert not np.array_equal(l0a, l1)
+
+    def test_prefetch_matches_sync_and_paths_work(self, tmp_path):
+        from vit_tpu.data import JpegFolderDataset
+
+        samples = self._samples(8)
+        # half as files on disk (lazy read on the decode thread)
+        path_samples = []
+        for i, (raw, lbl) in enumerate(samples):
+            if i % 2:
+                p = tmp_path / f"{i}.jpg"
+                p.write_bytes(raw)
+                path_samples.append((str(p), lbl))
+            else:
+                path_samples.append((raw, lbl))
+
+        a = JpegFolderDataset(samples, batch_size=4, size=32, seed=0, prefetch=True)
+        b = JpegFolderDataset(path_samples, batch_size=4, size=32, seed=0, prefetch=False)
+        for (ia, la), (ib, lb) in zip(a.epoch(0), b.epoch(0)):
+            np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_decode_error_propagates(self):
+        from vit_tpu.data import JpegFolderDataset
+
+        bad = [(b"not a jpeg", 0)] * 4
+        ds = JpegFolderDataset(bad, batch_size=4, size=32)
+        with pytest.raises(Exception):
+            list(ds.epoch(0))
+
+    def test_drop_remainder_and_epochs(self):
+        from vit_tpu.data import JpegFolderDataset
+
+        ds = JpegFolderDataset(self._samples(10), batch_size=4, size=32)
+        assert len(ds) == 2  # 10 // 4, short batch dropped
+        rows = list(ds.epochs(2))
+        assert len(rows) == 4
+        assert [e for e, _, _ in rows] == [0, 0, 1, 1]

@@ -166,6 +166,113 @@ def _resize_bilinear_u8(arr: np.ndarray, size: int) -> np.ndarray:
     return (top + (bot - top) * wy + 0.5).astype(np.uint8)
 
 
+class JpegFolderDataset:
+    """Shuffled, batched, multi-epoch training iterator over JPEG bytes.
+
+    The training-side counterpart of ``classify_jpeg_stream``: per-epoch
+    deterministic shuffle (``seed`` + epoch index → reproducible runs and
+    exact resume at an epoch boundary), native multithreaded decode of
+    batch k+1 on a background thread while the accelerator trains on
+    batch k, and an async ``jax.device_put`` so the host→device copy of
+    the next batch overlaps the current step too. Yields
+    ``(images fp32 [B,S,S,3] on device, labels int32 [B] on device)``.
+
+    ``samples`` is a sequence of ``(jpeg_bytes_or_path, label)``; paths are
+    read lazily on the decode thread, so a million-file folder costs no
+    RAM up front. The last short batch of an epoch is dropped when
+    ``drop_remainder`` (static shapes — one compiled train step).
+    """
+
+    def __init__(
+        self,
+        samples: Sequence,
+        batch_size: int,
+        *,
+        size: int = 224,
+        seed: int = 0,
+        decoder: Optional[JpegDecoder] = None,
+        drop_remainder: bool = True,
+        normalize: bool = True,
+        prefetch: bool = True,
+    ):
+        if len(samples) < batch_size:
+            raise ValueError(f"{len(samples)} samples < batch_size {batch_size}")
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.decoder = decoder or JpegDecoder(size=size)
+        self.drop_remainder = drop_remainder
+        self.normalize = normalize
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.samples)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def _order(self, epoch: int) -> np.ndarray:
+        return np.random.default_rng((self.seed, epoch)).permutation(len(self.samples))
+
+    def _load(self, idx: np.ndarray):
+        jpegs = []
+        labels = np.empty(len(idx), np.int32)
+        for j, i in enumerate(idx):
+            raw, labels[j] = self.samples[i]
+            if not isinstance(raw, (bytes, bytearray)):
+                with open(raw, "rb") as f:
+                    raw = f.read()
+            jpegs.append(raw)
+        images = self.decoder(jpegs).astype(np.float32)
+        if self.normalize:
+            images /= 255.0
+        return images, labels
+
+    def epoch(self, epoch: int = 0) -> Iterator:
+        """One pass over the data in the epoch's shuffled order."""
+        import jax
+
+        order = self._order(epoch)
+        nb = len(self)
+        batches = (order[k * self.batch_size:(k + 1) * self.batch_size] for k in range(nb))
+
+        if not self.prefetch:
+            for idx in batches:
+                images, labels = self._load(idx)
+                yield jax.device_put(images), jax.device_put(labels)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)  # bounded lookahead
+
+        def producer():
+            try:
+                for idx in batches:
+                    images, labels = self._load(idx)
+                    # async copy: overlaps the in-flight train step
+                    q.put((jax.device_put(images), jax.device_put(labels)))
+                q.put(None)
+            except Exception as e:  # surface decode errors on the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        t.join()
+
+    def epochs(self, n: int) -> Iterator:
+        """``n`` epochs back to back, yielding ``(epoch, images, labels)``."""
+        for e in range(n):
+            for images, labels in self.epoch(e):
+                yield e, images, labels
+
+
 def classify_jpegs(pipeline, jpegs: List[bytes], *, decoder: Optional[JpegDecoder] = None):
     """End-to-end: JPEG bytes -> logits through an ``InferencePipeline``.
 

@@ -121,12 +121,23 @@ def make_train_step(
     distill_alpha: float = 0.5,
     distill_tau: float = 1.0,
     distill_hard: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Jitted ``step(state, images, labels) -> (state, loss)``.
 
     Works on one chip or any mesh: place ``state``/batch with the desired
     shardings (``create_train_state(mesh=...)`` + a ``P('data')`` batch) and
     GSPMD partitions the step accordingly.
+
+    ``accum_steps=K`` turns the step into gradient accumulation: the batch
+    is split into K equal microbatches, gradients are computed per
+    microbatch under ``lax.scan`` (so only ONE microbatch's activations are
+    live at a time — memory scales with batch/K) and averaged before a
+    single optimizer update. With the mean losses used here, K microbatch
+    gradients average to exactly the full-batch gradient, so results match
+    ``accum_steps=1`` up to float re-association (asserted in
+    tests/test_augment.py). Dropout/augment rngs fold in the microbatch
+    index, and BatchNorm state threads sequentially through the scan.
 
     ``remat=True`` (default) checkpoints each scanned encoder block — the
     backward recomputes activations instead of keeping ``depth`` layers of
@@ -154,55 +165,95 @@ def make_train_step(
         has_state = bool(jax.tree_util.tree_leaves(state.model_state))
         step_rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
 
-        if augment_fn is not None:
-            aug_images, targets = augment_fn(
-                jax.random.fold_in(step_rng, 1), images, labels
+        def grads_of(model_state, imgs, lbls, rng):
+            """(loss, new_model_state), grads for one (micro)batch."""
+            if augment_fn is not None:
+                aug_images, targets = augment_fn(
+                    jax.random.fold_in(rng, 1), imgs, lbls
+                )
+            else:
+                aug_images, targets = imgs, lbls
+
+            def loss_fn(params):
+                rngs = {"dropout": rng}
+                scope = remat_scope() if remat else contextlib.nullcontext()
+                with ops.force_backend("xla"), scope:
+                    if has_state:
+                        # BatchNorm models: thread mutable state through
+                        logits, new_state = model.apply(
+                            {"params": params, **model_state},
+                            aug_images, True,
+                            mutable=list(model_state.keys()),
+                            rngs=rngs,
+                        )
+                    else:
+                        logits = model.apply(
+                            {"params": params}, aug_images, True, rngs=rngs
+                        )
+                        new_state = model_state
+                distill_logits = None
+                if isinstance(logits, tuple):  # LeViT distillation head
+                    logits, distill_logits = logits
+                if teacher_apply is not None:
+                    from vit_tpu.augment import distillation_loss, one_hot
+
+                    t = targets if augment_fn is not None else one_hot(
+                        lbls, logits.shape[-1]
+                    )
+                    loss = distillation_loss(
+                        logits,
+                        logits if distill_logits is None else distill_logits,
+                        t,
+                        teacher_apply(aug_images),
+                        alpha=distill_alpha,
+                        tau=distill_tau,
+                        hard=distill_hard,
+                    )
+                elif augment_fn is not None:
+                    from vit_tpu.augment import soft_cross_entropy
+
+                    loss = soft_cross_entropy(logits, targets)
+                else:
+                    loss = cross_entropy_loss(logits, lbls)
+                return loss, new_state
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        if accum_steps == 1:
+            (loss, new_state), grads = grads_of(
+                state.model_state, images, labels, step_rng
             )
         else:
-            aug_images, targets = images, labels
+            assert images.shape[0] % accum_steps == 0, (
+                f"batch {images.shape[0]} not divisible by accum_steps {accum_steps}"
+            )
+            micro_imgs = images.reshape(accum_steps, -1, *images.shape[1:])
+            micro_lbls = labels.reshape(accum_steps, -1)
 
-        def loss_fn(params):
-            rngs = {"dropout": step_rng}
-            scope = remat_scope() if remat else contextlib.nullcontext()
-            with ops.force_backend("xla"), scope:
-                if has_state:
-                    # BatchNorm models: thread mutable state through the step
-                    logits, new_state = model.apply(
-                        {"params": params, **state.model_state},
-                        aug_images, True,
-                        mutable=list(state.model_state.keys()),
-                        rngs=rngs,
-                    )
-                else:
-                    logits = model.apply({"params": params}, aug_images, True, rngs=rngs)
-                    new_state = state.model_state
-            distill_logits = None
-            if isinstance(logits, tuple):  # LeViT distillation head
-                logits, distill_logits = logits
-            if teacher_apply is not None:
-                from vit_tpu.augment import distillation_loss, one_hot
-
-                t = targets if augment_fn is not None else one_hot(
-                    labels, logits.shape[-1]
+            def micro(carry, inp):
+                gsum, lsum, mstate = carry
+                i, imgs_i, lbls_i = inp
+                (loss_i, mstate), g = grads_of(
+                    mstate, imgs_i, lbls_i, jax.random.fold_in(step_rng, i + 2)
                 )
-                loss = distillation_loss(
-                    logits,
-                    logits if distill_logits is None else distill_logits,
-                    t,
-                    teacher_apply(aug_images),
-                    alpha=distill_alpha,
-                    tau=distill_tau,
-                    hard=distill_hard,
+                gsum = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), gsum, g
                 )
-            elif augment_fn is not None:
-                from vit_tpu.augment import soft_cross_entropy
+                return (gsum, lsum + loss_i, mstate), ()
 
-                loss = soft_cross_entropy(logits, targets)
-            else:
-                loss = cross_entropy_loss(logits, labels)
-            return loss, new_state
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (gsum, lsum, new_state), _ = jax.lax.scan(
+                micro,
+                (zero_g, jnp.zeros((), jnp.float32), state.model_state),
+                (jnp.arange(accum_steps), micro_imgs, micro_lbls),
+            )
+            grads = jax.tree.map(
+                lambda g, p: (g / accum_steps).astype(p.dtype), gsum, state.params
+            )
+            loss = lsum / accum_steps
 
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, new_state), loss
