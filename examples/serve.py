@@ -1,6 +1,8 @@
 """Serving example: JPEG bytes -> logits, end to end.
 
   python examples/serve.py image1.jpg image2.jpg ...
+  python examples/serve.py --quantize w8a8 image1.jpg    # int8 encoder GEMMs
+  python examples/serve.py --quantize w8 image1.jpg      # weight-only int8
 
 Host side: native multithreaded libjpeg decode + bilinear resize
 (vit_tpu.data.JpegDecoder, C++ via ctypes, PIL fallback). Device side:
@@ -16,7 +18,12 @@ import numpy as np
 
 
 def main():
-    paths = sys.argv[1:]
+    args = sys.argv[1:]
+    quantize = None
+    if args and args[0] == "--quantize":
+        quantize = args[1]
+        args = args[2:]
+    paths = args
     from vit_tpu.data import JpegDecoder, classify_jpegs
     from vit_tpu.models import ViT
     from vit_tpu.pipeline import InferencePipeline
@@ -26,9 +33,26 @@ def main():
         depth=12, heads=12, mlp_dim=3072, dtype=jnp.bfloat16,
     )
     img = jnp.zeros((1, 224, 224, 3), jnp.uint8)
-    variables = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)}, 
+    variables = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0)},
                                            jnp.zeros((1, 224, 224, 3), jnp.bfloat16)))()
-    pipe = InferencePipeline(model, variables, image_size=224)
+
+    apply_fn = None
+    if quantize in ("w8a8", "w8a8_kernel"):
+        # int8 encoder GEMMs (dedicated ViT path: ops/quant.py)
+        from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+        variables = quantize_vit(variables)
+        apply_fn = lambda v, x: vit_apply_w8a8(model, v, x, mode=quantize)
+    elif quantize == "w8":
+        # generic weight-only compression (works on any family)
+        from vit_tpu.utils.quantize import quantize_weights, quantized_apply
+
+        variables = quantize_weights(variables)
+        apply_fn = lambda v, x: quantized_apply(model, v, x, dtype=jnp.bfloat16)
+    elif quantize is not None:
+        raise SystemExit(f"unknown --quantize mode {quantize!r}")
+
+    pipe = InferencePipeline(model, variables, image_size=224, apply_fn=apply_fn)
 
     if paths:
         jpegs = [open(p, "rb").read() for p in paths]

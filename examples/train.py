@@ -37,6 +37,9 @@ def main():
                     help="track an EMA of the params (e.g. 0.9999)")
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient-accumulation microbatches per step")
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "lamb", "muon"])
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (this environment's axon "
                          "plugin overrides JAX_PLATFORMS, so the pin must go "
@@ -47,7 +50,7 @@ def main():
 
     from vit_tpu.models import MODEL_REGISTRY
     from vit_tpu.train import (
-        create_train_state, make_train_step, shard_batch,
+        create_train_state, make_optimizer, make_train_step, shard_batch,
     )
     from vit_tpu.parallel import make_mesh
 
@@ -85,7 +88,9 @@ def main():
         )
         labels = jnp.arange(args.batch) % args.classes
 
-    state = create_train_state(model, jax.random.PRNGKey(1), images[:1], mesh=mesh)
+    optimizer = make_optimizer(args.lr, name=args.optimizer, grad_clip_norm=1.0)
+    state = create_train_state(model, jax.random.PRNGKey(1), images[:1],
+                               optimizer=optimizer, mesh=mesh)
 
     augment_fn = None
     if args.augment:
@@ -96,7 +101,8 @@ def main():
             k1, k2 = jax.random.split(rng)
             return aug.mixup_or_cutmix(k2, aug.random_hflip(k1, imgs), t)
 
-    step = make_train_step(model, augment_fn=augment_fn, accum_steps=args.accum)
+    step = make_train_step(model, optimizer, augment_fn=augment_fn,
+                           accum_steps=args.accum)
 
     ema = None
     if args.ema is not None:

@@ -213,3 +213,33 @@ def test_grad_accumulation_bn_model():
         state.model_state, state2.model_state,
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_evaluate_streams_dataset():
+    from vit_tpu.train import evaluate, make_eval_step
+
+    model = ViT(image_size=16, patch_size=8, num_classes=4, dim=32, depth=1,
+                heads=2, dim_head=16, mlp_dim=64)
+    variables = model.init({"params": KEY}, IMG[:2])
+    batches = [(IMG[:4], LABELS[:4]), (IMG[4:], LABELS[4:])]
+    out = evaluate(model, variables, batches)
+    assert out["samples"] == 8
+    # sample-weighted average equals the full-batch eval (equal halves)
+    loss, top1 = make_eval_step(model)(variables, IMG, LABELS)
+    np.testing.assert_allclose(out["loss"], float(loss), rtol=1e-5)
+    np.testing.assert_allclose(out["top1"], float(top1), rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["adamw", "lamb", "muon"])
+def test_named_optimizers_learn(name):
+    model = ViT(image_size=16, patch_size=8, num_classes=4, dim=32, depth=1,
+                heads=2, dim_head=16, mlp_dim=64)
+    opt = make_optimizer(1e-2, name=name, grad_clip_norm=1.0)
+    state = create_train_state(model, KEY, IMG[:2], optimizer=opt)
+    step = make_train_step(model, opt, remat=False)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, IMG, LABELS)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (name, losses)

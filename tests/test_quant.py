@@ -473,3 +473,85 @@ def test_quantize_weights_bn_model_and_window_model():
     out = quantized_apply(cf, qvars, img)
     err = float(jnp.max(jnp.abs(out - ref)))
     assert err < 0.05 * max(float(jnp.max(jnp.abs(ref))), 1.0), err
+
+
+def test_generic_w8_through_inference_pipeline():
+    from vit_tpu.models import ViT
+    from vit_tpu.pipeline import InferencePipeline
+    from vit_tpu.utils.quantize import quantize_weights, quantized_apply
+
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=1,
+                heads=2, dim_head=32, mlp_dim=128)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    qvars = quantize_weights(variables, min_size=1024)
+
+    pipe = InferencePipeline(
+        model, qvars, image_size=32, batch_size=2, dtype=jnp.float32,
+        apply_fn=lambda v, x: quantized_apply(model, v, x),
+    )
+    raw = (jax.random.uniform(jax.random.PRNGKey(2), (2, 48, 48, 3)) * 255).astype(jnp.uint8)
+    logits = pipe(np.asarray(raw))
+    assert logits.shape == (2, 10)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fake_quant_ste_exactness_and_gradient():
+    """QAT forward == deployed int8-weight forward bitwise; gradients pass
+    straight through to the float master weights."""
+    from vit_tpu.models import ViT
+    from vit_tpu.utils.quantize import (
+        fake_quantize_weights, quantize_weights, quantized_apply,
+    )
+
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=2,
+                heads=2, dim_head=32, mlp_dim=128)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    params = variables["params"]
+
+    # exactness: the STE forward sees the very weights quantized_apply uses
+    ste = model.apply({"params": fake_quantize_weights(params, min_size=1024)}, img)
+    deployed = quantized_apply(
+        model, quantize_weights(variables, min_size=1024), img
+    )
+    np.testing.assert_array_equal(np.asarray(ste), np.asarray(deployed))
+
+    # gradient: identity through the fake-quant (STE), and it reaches every
+    # quantized kernel
+    def loss(p):
+        return jnp.sum(
+            model.apply({"params": fake_quantize_weights(p, min_size=1024)}, img) ** 2
+        )
+
+    g = jax.grad(loss)(params)
+    qkv_g = g["encoder"]["blocks"]["attn"]["qkv_kernel"]
+    assert float(jnp.max(jnp.abs(qkv_g))) > 0
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
+
+
+def test_qat_train_step_learns_and_deploys():
+    """qat=True trains; the trained checkpoint deploys via quantize_weights
+    with zero extra error vs its own QAT forward."""
+    from vit_tpu.models import ViT
+    from vit_tpu.train import create_train_state, make_optimizer, make_train_step
+    from vit_tpu.utils.quantize import quantize_weights, quantized_apply
+    from vit_tpu.utils.quantize import fake_quantize_weights
+
+    model = ViT(image_size=16, patch_size=8, num_classes=4, dim=32, depth=1,
+                heads=2, dim_head=16, mlp_dim=2048)  # mlp big enough to quantize
+    img = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    labels = jnp.arange(8) % 4
+    state = create_train_state(model, jax.random.PRNGKey(0), img[:2])
+    step = make_train_step(model, make_optimizer(1e-2), remat=False, qat=True)
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, img, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # deployment: int8 checkpoint reproduces the QAT training forward
+    ste = model.apply({"params": fake_quantize_weights(state.params)}, img)
+    deployed = quantized_apply(model, quantize_weights({"params": state.params}), img)
+    np.testing.assert_array_equal(np.asarray(ste), np.asarray(deployed))

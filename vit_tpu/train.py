@@ -67,17 +67,38 @@ def make_optimizer(
     learning_rate=1e-3,
     weight_decay: float = 0.05,
     *,
+    name: str = "adamw",
     grad_clip_norm: float = None,
     b1: float = 0.9,
     b2: float = 0.999,
 ):
-    """AdamW with optional global-norm gradient clipping.
+    """Named optimizer factory with optional global-norm gradient clipping.
 
     ``learning_rate`` may be a float or any optax schedule (e.g.
     ``warmup_cosine_schedule``). ``grad_clip_norm`` prepends
     ``optax.clip_by_global_norm`` — standard for ViT training stability.
+
+    ``name``:
+      - ``"adamw"`` — the default ViT recipe.
+      - ``"lamb"`` — layerwise-adaptive Adam; the standard choice when the
+        global batch is scaled across a large data mesh (where AdamW needs
+        LR re-tuning per batch size).
+      - ``"muon"`` — orthogonalized momentum (Newton–Schulz iterations on
+        the 2-D gradient blocks). A notably TPU-friendly optimizer: its
+        per-step extra work is five matmul pairs per weight matrix —
+        straight onto the MXU — with Adam handling the non-2-D leaves.
     """
-    tx = optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    if name == "adamw":
+        tx = optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    elif name == "lamb":
+        tx = optax.lamb(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+    elif name == "muon":
+        tx = optax.contrib.muon(
+            learning_rate, weight_decay=weight_decay,
+            adam_b1=b1, adam_b2=b2, adam_weight_decay=weight_decay,
+        )
+    else:
+        raise ValueError(f"unknown optimizer {name!r} (adamw|lamb|muon)")
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx
@@ -122,6 +143,7 @@ def make_train_step(
     distill_tau: float = 1.0,
     distill_hard: bool = True,
     accum_steps: int = 1,
+    qat: bool = False,
 ) -> Callable:
     """Jitted ``step(state, images, labels) -> (state, loss)``.
 
@@ -138,6 +160,12 @@ def make_train_step(
     ``accum_steps=1`` up to float re-association (asserted in
     tests/test_augment.py). Dropout/augment rngs fold in the microbatch
     index, and BatchNorm state threads sequentially through the scan.
+
+    ``qat=True`` trains through the weight-only int8 view
+    (``utils.quantize.fake_quantize_weights``): the forward sees exactly
+    the rounded weights the deployed ``quantized_apply`` will use, the
+    backward passes straight through to the float master weights, so the
+    post-training ``quantize_weights`` checkpoint costs (almost) nothing.
 
     ``remat=True`` (default) checkpoints each scanned encoder block — the
     backward recomputes activations instead of keeping ``depth`` layers of
@@ -175,6 +203,10 @@ def make_train_step(
                 aug_images, targets = imgs, lbls
 
             def loss_fn(params):
+                if qat:
+                    from vit_tpu.utils.quantize import fake_quantize_weights
+
+                    params = fake_quantize_weights(params)
                 rngs = {"dropout": rng}
                 scope = remat_scope() if remat else contextlib.nullcontext()
                 with ops.force_backend("xla"), scope:
@@ -275,6 +307,29 @@ def make_eval_step(model) -> Callable:
         return cross_entropy_loss(logits, labels), top1_accuracy(logits, labels)
 
     return step
+
+
+def evaluate(model, variables, batches) -> dict:
+    """Stream ``(images, labels)`` batches through the deterministic eval
+    step and return sample-weighted ``{"loss", "top1", "samples"}``.
+
+    ``batches`` is any iterable — e.g. ``JpegFolderDataset.epoch(0)``
+    (decode of batch k+1 overlaps the device eval of batch k) or a list of
+    in-memory pairs. One compiled step serves every equal-shaped batch.
+    """
+    step = make_eval_step(model)
+    n = 0
+    loss_sum = 0.0
+    acc_sum = 0.0
+    for images, labels in batches:
+        loss, top1 = step(variables, images, labels)
+        b = int(labels.shape[0])
+        loss_sum += float(loss) * b
+        acc_sum += float(top1) * b
+        n += b
+    if n == 0:
+        raise ValueError("evaluate() got an empty batch iterable")
+    return {"loss": loss_sum / n, "top1": acc_sum / n, "samples": n}
 
 
 def shard_batch(batch: jax.Array, mesh: Mesh) -> jax.Array:

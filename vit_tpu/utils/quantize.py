@@ -292,6 +292,48 @@ def quantize_weights(
     return walk(variables)
 
 
+def fake_quantize_weights(
+    params: Dict[str, Any], *, min_size: int = 16384, keys=_W8_KEYS
+) -> Dict[str, Any]:
+    """Straight-through-estimator view of the params for weight-only QAT.
+
+    Every kernel ``quantize_weights`` would compress is replaced in-graph by
+    ``w + stop_gradient(qdq(w) - w)``: the FORWARD sees exactly the
+    int8-rounded weights the deployed ``quantized_apply`` will use (same
+    ``_quantize_leaf`` math, so QAT-forward == deployed-forward bitwise —
+    asserted in tests/test_quant.py), while the BACKWARD passes gradients
+    straight through to the float master weights. Use inside a train step:
+    ``model.apply({"params": fake_quantize_weights(params), ...}, x)`` —
+    or just pass ``qat=True`` to ``make_train_step``. Training absorbs the
+    rounding error, so the post-training ``quantize_weights`` checkpoint
+    loses (almost) nothing.
+    """
+
+    def qdq(w):
+        q = _quantize_leaf(w)
+        return (q["__w8__"].astype(jnp.float32) * q["__scale__"]).astype(w.dtype)
+
+    def walk(node):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            return {
+                k: (
+                    v + jax.lax.stop_gradient(qdq(v) - v)
+                    if (
+                        k in keys
+                        and hasattr(v, "ndim")
+                        and v.ndim >= 2
+                        and v.size >= min_size
+                        and jnp.issubdtype(v.dtype, jnp.floating)
+                    )
+                    else walk(v)
+                )
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params)
+
+
 def dequantize_weights(qvars: Dict[str, Any], dtype=jnp.float32) -> Dict[str, Any]:
     """Inverse of ``quantize_weights``: reconstruct a float variables tree
     (in-graph when traced — jit callers keep int8 in HBM)."""
