@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
     ap.add_argument("--data", default=None, help="directory of JPEGs (synthetic if unset)")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", default=None, metavar="DIR",
+                    help="restore a --checkpoint-dir save and continue")
     ap.add_argument("--augment", action="store_true",
                     help="in-graph flip + mixup/cutmix + label smoothing 0.1")
     ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
@@ -91,6 +93,11 @@ def main():
     optimizer = make_optimizer(args.lr, name=args.optimizer, grad_clip_norm=1.0)
     state = create_train_state(model, jax.random.PRNGKey(1), images[:1],
                                optimizer=optimizer, mesh=mesh)
+    if args.resume:
+        from vit_tpu.utils.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
 
     augment_fn = None
     if args.augment:
