@@ -1,0 +1,91 @@
+"""BatchingServer: dynamic request batching over the InferencePipeline."""
+
+import io
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.data import JpegDecoder
+from vit_tpu.models import ViT
+from vit_tpu.pipeline import InferencePipeline
+from vit_tpu.serving import BatchingServer
+
+
+def _pipeline(batch_size=4):
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=1,
+                heads=2, dim_head=32, mlp_dim=128)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img)
+    return InferencePipeline(model, variables, image_size=32,
+                             batch_size=batch_size, dtype=jnp.float32)
+
+
+def _jpeg(seed):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+        buf, format="JPEG", quality=95
+    )
+    return buf.getvalue()
+
+
+def test_concurrent_requests_match_direct_pipeline():
+    pipe = _pipeline(batch_size=4)
+    decoder = JpegDecoder(size=40)
+    jpegs = [_jpeg(i) for i in range(10)]
+    # ground truth: each image classified alone through the same pipeline
+    want = {i: pipe(decoder([j])[None][0]) for i, j in enumerate(jpegs)}
+
+    with BatchingServer(pipe, decoder=decoder, max_batch=4, max_wait_ms=20) as srv:
+        results = {}
+
+        def worker(i):
+            results[i] = srv.classify(jpegs[i], timeout=60)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    for i in range(10):
+        np.testing.assert_allclose(results[i], want[i][0], atol=1e-5)
+
+
+def test_deadline_flushes_partial_batch():
+    pipe = _pipeline(batch_size=4)
+    with BatchingServer(pipe, decoder=JpegDecoder(size=40),
+                        max_batch=4, max_wait_ms=10) as srv:
+        out = srv.classify(_jpeg(0), timeout=60)  # 1 of 4: deadline must fire
+        assert out.shape == (10,) and np.isfinite(out).all()
+
+
+def test_predecoded_arrays_and_corrupt_jpeg_isolation():
+    pipe = _pipeline(batch_size=4)
+    decoder = JpegDecoder(size=40)
+    good = _jpeg(1)
+    arr = decoder([_jpeg(2)])[0]
+    with BatchingServer(pipe, decoder=decoder, max_batch=4, max_wait_ms=30) as srv:
+        f_bad = srv.submit(b"definitely not a jpeg")
+        f_good = srv.submit(good)
+        f_arr = srv.submit(arr)
+        with pytest.raises(Exception):
+            f_bad.result(timeout=60)
+        # the corrupt request must not poison its batchmates
+        assert np.isfinite(f_good.result(timeout=60)).all()
+        assert np.isfinite(f_arr.result(timeout=60)).all()
+        # and the server keeps serving afterwards
+        assert np.isfinite(srv.classify(_jpeg(3), timeout=60)).all()
+
+
+def test_close_rejects_new_requests():
+    pipe = _pipeline(batch_size=2)
+    srv = BatchingServer(pipe, decoder=JpegDecoder(size=40), max_wait_ms=5)
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(_jpeg(0))
