@@ -555,3 +555,46 @@ def test_qat_train_step_learns_and_deploys():
     ste = model.apply({"params": fake_quantize_weights(state.params)}, img)
     deployed = quantized_apply(model, quantize_weights({"params": state.params}), img)
     np.testing.assert_array_equal(np.asarray(ste), np.asarray(deployed))
+
+
+def test_vit_apply_qat_matches_deployed_w8a8_and_trains():
+    """Activation+weight QAT forward == the deployed int8 forward (up to
+    int32-vs-fp32 accumulation), and gradients train the float masters."""
+    import optax
+
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_qat, vit_apply_w8a8
+
+    model = _small_vit()
+    img = jnp.asarray(
+        np.random.default_rng(11).normal(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+
+    qat = np.asarray(jax.jit(lambda v, x: vit_apply_qat(model, v, x))(variables, img))
+    deployed = np.asarray(
+        jax.jit(lambda v, x: vit_apply_w8a8(model, v, x))(quantize_vit(variables), img)
+    )
+    np.testing.assert_allclose(qat, deployed, atol=1e-4)
+
+    labels = jnp.arange(4) % 10
+    tx = optax.adam(1e-3)
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = vit_apply_qat(model, {"params": p}, img)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

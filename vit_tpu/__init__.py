@@ -10,6 +10,14 @@ classifiers, see /root/reference) as one idiomatic JAX/XLA/Pallas framework:
 - ``vit_tpu.models``   — the 17 model families with reference-compatible
                          constructor signatures.
 - ``vit_tpu.parallel`` — mesh construction, data/tensor-parallel sharding.
+- ``vit_tpu.train``    — GSPMD train step (augment/distill/QAT/accum hooks),
+                         optimizers, schedules, eval.
+- ``vit_tpu.augment``  — in-graph mixup/cutmix/flip/erasing, EMA,
+                         distillation loss.
+- ``vit_tpu.data``     — native JPEG decode; serving stream + training
+                         dataset (decode/step overlap).
+- ``vit_tpu.serving``  — dynamic request batching onto the compiled batch.
+- ``vit_tpu.pipeline`` — device-fused preprocess + forward.
 """
 
 from vit_tpu.models import *  # noqa: F401,F403

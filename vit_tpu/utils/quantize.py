@@ -233,6 +233,98 @@ def vit_apply_w8a8(
     return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
 
 
+def _ste_qmm(dtype):
+    """Straight-through W8A8 fake-quant GEMM for QAT.
+
+    Forward mirrors ``ops.quant.int8_matmul``'s math — per-token symmetric
+    int8 activations × per-channel int8 weights — but on the float master
+    values with STE, so the backward is the plain float GEMM gradient.
+    Matches the deployed int8 forward up to accumulation order (int32
+    exact-sum there vs fp32 here); asserted ≤1e-4 on ViT logits in
+    tests/test_quant.py.
+    """
+
+    def fq(v, axes):
+        vf = v.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(vf), axis=axes, keepdims=True)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(vf / s), -127, 127) * s
+        return vf + jax.lax.stop_gradient(q - vf)
+
+    def qmm(x, w, _scale_unused, bias=None, out_dtype=None):
+        xq = fq(x, (-1,))                              # per token
+        wq = fq(w, tuple(range(w.ndim - 1)))           # per output channel
+        out = jnp.matmul(
+            xq.astype(dtype), wq.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(out_dtype or x.dtype)
+
+    return qmm
+
+
+def vit_apply_qat(model, variables: Dict[str, Any], img: jax.Array) -> jax.Array:
+    """W8A8 quantization-aware forward for ``vit_tpu.models.ViT`` from the
+    LIVE float params: the four encoder GEMMs per layer run through the
+    straight-through fake-quant (``_ste_qmm``), so the training forward
+    sees (within fp32-vs-int32 accumulation) what ``vit_apply_w8a8`` will
+    deploy, while gradients flow to the float master weights. Train with
+    any custom step whose loss calls this; afterwards ``quantize_vit`` +
+    ``vit_apply_w8a8`` deploys the absorbed rounding. Weight-only QAT for
+    every OTHER family is ``fake_quantize_weights`` / ``qat=True``.
+    """
+    p = variables["params"]
+    blocks = p["encoder"]["blocks"]
+    attn, ff = blocks["attn"], blocks["ff"]
+    assert "qkv_kernel" in attn, (
+        "vit_apply_qat expects the raw-param scanned layout "
+        "(models/vit.py); HF-submodule trees: normalize via quantize_vit's "
+        "layout first"
+    )
+    dtype = model.dtype or jnp.float32
+    depth = attn["qkv_kernel"].shape[0]
+    dummy = jnp.zeros((depth, 1, 1), jnp.float32)  # scan slot; _ste_qmm ignores
+    q = {
+        "to_qkv": {"w": attn["qkv_kernel"], "s": dummy},
+        "to_out": {"w": attn["out_kernel"], "s": dummy},
+        "w1": {"w": ff["w1"], "s": dummy},
+        "w2": {"w": ff["w2"], "s": dummy},
+    }
+    # share the quantized-encoder scan: blocks minus the float kernels
+    blocks_view = {
+        "attn": {k: v for k, v in attn.items() if k not in ("qkv_kernel", "out_kernel")},
+        "ff": {k: v for k, v in ff.items() if k not in ("w1", "w2")},
+    }
+
+    x = ops.patchify(img, model.patch_size)
+    proj = p["patch_embed"]["proj"]
+    x = (
+        jnp.matmul(
+            x.astype(dtype), proj["kernel"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + proj["bias"]
+    ).astype(dtype)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(p["cls"].astype(dtype), (b, 1, model.dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["pos_embedding"].astype(dtype)
+
+    x = _encoder_w8a8(
+        x, blocks_view, q, heads=model.heads, dim_head=model.dim_head,
+        eps=model.norm_eps, dtype=dtype, activation=model.activation,
+        qmm=_ste_qmm(dtype),
+    )
+
+    x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
+    hn = p["head_norm"]
+    x = _layer_norm(x.astype(jnp.float32), hn["scale"], hn["bias"], model.norm_eps)
+    head = p["head"]
+    return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
+
+
 # ---------------------------------------------------------------------------
 # Generic weight-only compression (every family)
 
