@@ -1,0 +1,106 @@
+"""Pipeline parallelism on the 8-device virtual CPU mesh: the GPipe
+schedule's logits and gradients must match the unpipelined model exactly,
+and the per-tick activation transfer must be a collective-permute in the
+compiled HLO (not an all-to-all or gather)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.models import ViT
+from vit_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_vit_apply,
+    spmd_pipeline,
+)
+
+MODEL = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=4,
+            heads=4, mlp_dim=128, dim_head=16)
+
+
+def _init(batch=8):
+    img = jax.random.normal(jax.random.PRNGKey(0), (batch, 32, 32, 3))
+    variables = MODEL.init({"params": jax.random.PRNGKey(1)}, img)
+    return variables, img
+
+
+def test_pipeline_forward_matches_single_device():
+    variables, img = _init(batch=8)
+    mesh = make_pipeline_mesh(n_pipe=4, n_data=2)  # dp x pp
+    fn = jax.jit(lambda v, im: pipeline_vit_apply(MODEL, v, im, mesh, n_micro=4))
+    out_pp = fn(variables, img)
+    out_ref = MODEL.apply(variables, img)
+    np.testing.assert_allclose(
+        np.asarray(out_pp), np.asarray(out_ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pipeline_pure_pipe_and_extra_microbatches():
+    # pp only (no data axis), more microbatches than stages (smaller bubble)
+    variables, img = _init(batch=8)
+    mesh = make_pipeline_mesh(n_pipe=4, n_data=1)
+    fn = jax.jit(lambda v, im: pipeline_vit_apply(MODEL, v, im, mesh, n_micro=8))
+    out_pp = fn(variables, img)
+    out_ref = MODEL.apply(variables, img)
+    np.testing.assert_allclose(
+        np.asarray(out_pp), np.asarray(out_ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pipeline_transfer_is_collective_permute():
+    variables, img = _init(batch=8)
+    mesh = make_pipeline_mesh(n_pipe=4, n_data=2)
+    fn = jax.jit(lambda v, im: pipeline_vit_apply(MODEL, v, im, mesh, n_micro=4))
+    hlo = fn.lower(variables, img).compile().as_text()
+    assert "collective-permute" in hlo  # stage-to-stage activation handoff
+    assert "all-to-all" not in hlo
+
+
+def test_pipeline_gradients_match_unpipelined():
+    variables, img = _init(batch=8)
+    mesh = make_pipeline_mesh(n_pipe=4, n_data=2)
+
+    def loss_pp(params):
+        logits = pipeline_vit_apply(MODEL, {"params": params}, img, mesh, n_micro=4)
+        return jnp.mean(logits**2)
+
+    def loss_ref(params):
+        return jnp.mean(MODEL.apply({"params": params}, img) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(variables["params"])
+    g_ref = jax.jit(jax.grad(loss_ref))(variables["params"])
+    flat_pp = jax.tree_util.tree_leaves_with_path(g_pp)
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_ref)
+    )
+    assert flat_pp
+    for path, v in flat_pp:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_ref[jax.tree_util.keystr(path)]),
+            atol=1e-5, rtol=1e-4, err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_spmd_pipeline_generic_blocks():
+    # the generic scheduler on a plain stacked-linear stack: y = x @ W_i + b_i
+    depth, dim, batch = 8, 16, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    params = {
+        "w": jax.random.normal(k1, (depth, dim, dim)) * 0.1,
+        "b": jax.random.normal(k2, (depth, dim)) * 0.1,
+    }
+    x = jax.random.normal(k3, (batch, dim))
+
+    def block_fn(p, xv):
+        return jnp.tanh(xv @ p["w"] + p["b"])
+
+    mesh = make_pipeline_mesh(n_pipe=4, n_data=2)
+    out = jax.jit(
+        lambda pr, xv: spmd_pipeline(block_fn, pr, xv, mesh, n_micro=4)
+    )(params, x)
+
+    ref = x
+    for i in range(depth):
+        ref = block_fn(jax.tree.map(lambda a: a[i], params), ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6)

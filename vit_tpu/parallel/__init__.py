@@ -1,4 +1,10 @@
 from vit_tpu.parallel.api import data_parallel_apply  # noqa: F401
+from vit_tpu.parallel.pipeline import (  # noqa: F401
+    PIPE_AXIS,
+    make_pipeline_mesh,
+    pipeline_vit_apply,
+    spmd_pipeline,
+)
 from vit_tpu.parallel.ring_attention import ring_attention  # noqa: F401
 from vit_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,

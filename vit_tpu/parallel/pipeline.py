@@ -1,0 +1,239 @@
+"""Pipeline parallelism (pp) over the scanned encoder stack.
+
+The reference has no parallelism code of any kind (SURVEY.md §2.3); dp/tp/sp
+live in ``mesh.py``/``sharding.py``/``ring_attention.py``. This module adds
+the fourth axis: a GPipe-style SPMD pipeline that shards the *depth* of a
+scanned block stack over a ``pipe`` mesh axis. Every model in the zoo fits
+on one chip, so pp is not required for capacity here — it exists for the
+regime the framework is designed toward (deeper-than-HBM encoders, e.g.
+ViT-g/H-scale stacks), and because the scanned parameter layout
+(``nn.scan`` stacks each block's params on a leading depth axis,
+nn/blocks.py:329-335) makes depth sharding a pure reshape: stage ``s`` of
+``P`` owns layers ``[s·L/P, (s+1)·L/P)`` with no per-layer re-keying.
+
+Schedule (classic GPipe, all stages run the same SPMD program):
+
+  - The batch is split into ``n_micro`` microbatches.
+  - At tick ``t`` (of ``n_micro + P - 1``), stage ``s`` runs microbatch
+    ``t - s`` when ``0 <= t - s < n_micro``; otherwise it computes on a
+    dummy and discards the result (the fill/drain bubble — fraction
+    ``(P-1)/(n_micro+P-1)``, so raise ``n_micro`` to amortize it).
+  - Activations move stage→stage+1 with one ``lax.ppermute`` per tick
+    (point-to-point over ICI; the only collective in the steady state).
+  - The last stage accumulates finished microbatches; one masked ``psum``
+    at the end replicates the result across the pipe axis.
+
+Everything in the schedule is reverse-differentiable (``scan`` over ticks,
+``ppermute``, masked ``where``), so ``jax.grad`` through a pipelined
+forward yields exactly the unpipelined gradients — asserted in
+tests/test_pipeline.py. Composes with data parallelism: on a
+``(data, pipe)`` mesh each data shard runs its own pipeline on its batch
+slice and only gradient reduction crosses the data axis (in the caller's
+optimizer step, as usual).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vit_tpu.parallel.mesh import DATA_AXIS
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipeline_mesh(
+    n_pipe: int,
+    n_data: int = 1,
+    *,
+    devices=None,
+) -> Mesh:
+    """A ``(data, pipe)`` mesh. Pipeline neighbours are adjacent on the
+    device list so the per-tick ppermute rides nearest-neighbour ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_pipe * n_data
+    if need > len(devices):
+        raise ValueError(
+            f"pipeline mesh needs {n_data}x{n_pipe} = {need} devices, "
+            f"found {len(devices)} ({devices[0].platform})"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_data, n_pipe)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
+
+
+def spmd_pipeline(
+    block_fn: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    x: jax.Array,
+    mesh: Mesh,
+    *,
+    n_micro: Optional[int] = None,
+    axis_name: str = PIPE_AXIS,
+) -> jax.Array:
+    """Apply ``depth`` blocks to ``x`` with the depth axis pipelined.
+
+    ``stacked_params``: pytree whose every leaf has a leading ``depth``
+    axis (the ``nn.scan`` layout). ``block_fn(params_i, x) -> x`` applies
+    one block. ``x``: ``(batch, ...)`` activations; the batch splits into
+    ``n_micro`` microbatches (default: one per stage — the minimum that
+    keeps every stage busy in the steady state). ``depth`` must divide by
+    the pipe-axis size and ``batch`` by ``n_micro`` (× the data-axis size
+    when the mesh has one).
+    """
+    n_stages = mesh.shape[axis_name]
+    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if depth % n_stages != 0:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} pipeline stages")
+    if n_micro is None:
+        n_micro = n_stages
+    data_ax = (
+        DATA_AXIS
+        if DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1
+        else None
+    )
+    n_data = mesh.shape[data_ax] if data_ax else 1
+    b = x.shape[0]
+    if b % (n_micro * n_data) != 0:
+        raise ValueError(
+            f"batch {b} must divide by n_micro*data = {n_micro}*{n_data}"
+        )
+    local_depth = depth // n_stages
+    staged = jax.tree.map(
+        lambda a: a.reshape((n_stages, local_depth) + a.shape[1:]), stacked_params
+    )
+    mb = x.reshape((n_micro, b // n_micro) + x.shape[1:])
+
+    def run(staged_local, mb_loc):
+        params_local = jax.tree.map(lambda a: jnp.squeeze(a, 0), staged_local)
+        sid = jax.lax.axis_index(axis_name)
+
+        def stage(xv):
+            y, _ = jax.lax.scan(
+                lambda c, p: (block_fn(p, c), None), xv, params_local
+            )
+            return y
+
+        ticks = n_micro + n_stages - 1
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            state, outs = carry
+            # stage 0 ingests microbatch t; everyone else their ppermuted input
+            inp = jax.lax.dynamic_index_in_dim(
+                mb_loc, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
+            )
+            cur = jnp.where(sid == 0, inp, state)
+            y = stage(cur)
+            mb_id = t - sid
+            active = jnp.logical_and(mb_id >= 0, mb_id < n_micro)
+            y = jnp.where(active, y, cur)  # bubble ticks pass through
+            # last stage records its finished microbatch
+            slot = jnp.clip(mb_id, 0, n_micro - 1)
+            record = jnp.logical_and(active, sid == n_stages - 1)
+            outs = jnp.where(
+                record,
+                jax.lax.dynamic_update_index_in_dim(outs, y, slot, 0),
+                outs,
+            )
+            state = jax.lax.ppermute(y, axis_name, perm)
+            return (state, outs), None
+
+        (_, outs), _ = jax.lax.scan(
+            tick, (jnp.zeros_like(mb_loc[0]), jnp.zeros_like(mb_loc)),
+            jnp.arange(ticks),
+        )
+        # replicate the last stage's results across the pipe axis
+        return jax.lax.psum(
+            jnp.where(sid == n_stages - 1, outs, jnp.zeros_like(outs)), axis_name
+        )
+
+    out = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(None, data_ax)),
+        out_specs=P(None, data_ax),
+        check_vma=False,
+    )(staged, mb)
+    return out.reshape((b,) + x.shape[1:])
+
+
+def pipeline_vit_apply(
+    model,
+    variables: Any,
+    img: jax.Array,
+    mesh: Mesh,
+    *,
+    n_micro: Optional[int] = None,
+) -> jax.Array:
+    """ViT inference forward with the encoder depth pipelined over ``mesh``.
+
+    Mirrors ``ViT.__call__`` (models/vit.py:48-96) op for op — patch embed,
+    cls/pos, the encoder's one-time sublane pad (nn/blocks.py:290-307), and
+    the head run as ordinary (data-sharded or replicated) ops; only the
+    block stack goes through the pipeline schedule. Logits match the
+    single-device ``model.apply`` (asserted ≤1e-5 in tests); gradients
+    through this function match the unpipelined gradients.
+    """
+    from flax import linen as nn
+
+    from vit_tpu.core.utils import pair
+    from vit_tpu.nn.blocks import EncoderBlock
+    from vit_tpu.nn.embed import PatchEmbed
+
+    params = variables["params"]
+    ph, _ = pair(model.patch_size)
+    x = PatchEmbed(
+        model.dim, ph, dtype=model.dtype,
+        out_dtype=model.residual_dtype or model.dtype,
+    ).apply({"params": params["patch_embed"]}, img)
+    b = x.shape[0]
+    cls = params["cls"]
+    pos = params["pos_embedding"]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, model.dim)), x], axis=1
+    )
+    x = x + pos.astype(x.dtype)
+
+    # one-time sublane pad, identical to Transformer.auto_pad
+    n = x.shape[1]
+    sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
+    n_pad = -(-n // sublanes) * sublanes
+    true_tokens = None
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        true_tokens = n
+
+    block = EncoderBlock(
+        dim=model.dim,
+        heads=model.heads,
+        dim_head=model.dim_head,
+        mlp_dim=model.mlp_dim,
+        dropout=0.0,
+        qkv_bias=model.qkv_bias,
+        activation=model.activation,
+        true_tokens=true_tokens,
+        norm_eps=model.norm_eps,
+        dtype=model.dtype,
+    )
+
+    def block_fn(p, xv):
+        y, _ = block.apply({"params": p}, xv)
+        return y
+
+    x = spmd_pipeline(
+        block_fn, params["encoder"]["blocks"], x, mesh, n_micro=n_micro
+    )
+    x = x[:, :n]
+
+    x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
+    x = nn.LayerNorm(epsilon=model.norm_eps, dtype=jnp.float32).apply(
+        {"params": params["head_norm"]}, x
+    )
+    return nn.Dense(model.num_classes, dtype=jnp.float32).apply(
+        {"params": params["head"]}, x
+    )
