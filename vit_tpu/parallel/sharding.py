@@ -26,6 +26,12 @@ from vit_tpu.parallel.mesh import MODEL_AXIS
 # spec, so P(None, 'model') on a 1x1-conv HWIO kernel shards the output
 # channels). Order matters: first match wins.
 DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # expert parallelism: MoE expert tables shard their leading E axis over
+    # the model axis (nn/moe.py; dispatch/combine collectives follow from
+    # contracting against the sharded experts). Full-rank specs — the
+    # right-align padding only ever prepends the scan depth axis.
+    (r".*/expert_w[12]$", P(MODEL_AXIS, None, None)),
+    (r".*/expert_b[12]$", P(MODEL_AXIS, None)),
     (r".*(to_qkv|to_q|to_kv|to_k|to_v)/kernel$", P(None, MODEL_AXIS)),
     # conv-projection attention: CvT's depthwise->pointwise q/kv stacks
     # (models/cvt.py) — the depthwise stays replicated (per-channel over the
