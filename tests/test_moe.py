@@ -106,3 +106,17 @@ def test_vitmoe_ep_shards_and_trains_on_dp_ep_mesh():
         fwd(jax.device_get({"params": state.params}), jax.device_get(img))
     )
     np.testing.assert_allclose(out_s, out_1, atol=1e-4, rtol=1e-4)
+
+
+def test_moe_aux_loss_enters_training_loss():
+    from vit_tpu.train import create_train_state, make_train_step
+
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    labels = jnp.arange(4) % 10
+    state = create_train_state(MODEL, jax.random.PRNGKey(2), img[:1])
+    _, loss_plain = make_train_step(MODEL)(state, img, labels)
+    _, loss_aux = make_train_step(MODEL, moe_aux_weight=0.5)(state, img, labels)
+    # same params, same batch: the difference is exactly the weighted aux
+    # term, which is >= ~1 for any routing (Switch aux at perfect balance)
+    assert float(loss_aux) > float(loss_plain) + 0.3
+    assert np.isfinite(float(loss_aux))

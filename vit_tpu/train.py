@@ -144,6 +144,7 @@ def make_train_step(
     distill_hard: bool = True,
     accum_steps: int = 1,
     qat: bool = False,
+    moe_aux_weight: float = 0.0,
 ) -> Callable:
     """Jitted ``step(state, images, labels) -> (state, loss)``.
 
@@ -166,6 +167,10 @@ def make_train_step(
     the rounded weights the deployed ``quantized_apply`` will use, the
     backward passes straight through to the float master weights, so the
     post-training ``quantize_weights`` checkpoint costs (almost) nothing.
+
+    ``moe_aux_weight > 0`` adds the mean of every sown MoE load-balance
+    loss (``nn/moe.py``, ``intermediates/moe_aux_loss``) to the training
+    loss — the standard Switch/V-MoE router regularizer.
 
     ``remat=True`` (default) checkpoints each scanned encoder block — the
     backward recomputes activations instead of keeping ``depth`` layers of
@@ -208,21 +213,29 @@ def make_train_step(
 
                     params = fake_quantize_weights(params)
                 rngs = {"dropout": rng}
+                # MoE models sow their load-balance loss under
+                # 'intermediates' (nn/moe.py); collect it when weighted.
+                mutable = list(model_state.keys()) if has_state else []
+                if moe_aux_weight:
+                    mutable = mutable + ["intermediates"]
                 scope = remat_scope() if remat else contextlib.nullcontext()
                 with ops.force_backend("xla"), scope:
-                    if has_state:
-                        # BatchNorm models: thread mutable state through
-                        logits, new_state = model.apply(
+                    if mutable:
+                        # BatchNorm state and/or sown intermediates
+                        logits, mut_out = model.apply(
                             {"params": params, **model_state},
                             aug_images, True,
-                            mutable=list(model_state.keys()),
+                            mutable=mutable,
                             rngs=rngs,
                         )
+                        mut_out = dict(mut_out)
                     else:
                         logits = model.apply(
                             {"params": params}, aug_images, True, rngs=rngs
                         )
-                        new_state = model_state
+                        mut_out = {}
+                inter = mut_out.pop("intermediates", None)
+                new_state = mut_out if has_state else model_state
                 distill_logits = None
                 if isinstance(logits, tuple):  # LeViT distillation head
                     logits, distill_logits = logits
@@ -247,6 +260,12 @@ def make_train_step(
                     loss = soft_cross_entropy(logits, targets)
                 else:
                     loss = cross_entropy_loss(logits, lbls)
+                if moe_aux_weight and inter is not None:
+                    terms = jax.tree_util.tree_leaves(inter)
+                    if terms:
+                        loss = loss + moe_aux_weight * (
+                            sum(terms) / len(terms)
+                        )
                 return loss, new_state
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
