@@ -175,6 +175,21 @@ def main():
     mixed_err = max_logit_err(mixed_logits, ref_logits)
     mixed_err_bench_class = max_logit_err(mixed_logits, ref_logits_b128)
 
+    # --- int8 serving mode (fused W8A8 kernels; a different accuracy point
+    # than the parity configs — reported as the serving ceiling, measured
+    # 1.5x the bf16 kernel path at batch 128 on 2026-08-18) ---
+    int8_ips = None
+    try:
+        from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+        qvars = quantize_vit(our_params)
+        q_apply = jax.jit(
+            lambda v, x: vit_apply_w8a8(our_model, v, x, mode="w8a8_kernel")
+        )
+        int8_ips, _ = timed_throughput(q_apply, qvars, img_bf16)
+    except Exception as e:  # never let the serving mode sink the headline
+        print(f"# int8 mode skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     truth = fp64_vit_forward(
         jax.device_get(ref_params), np.asarray(img[:8]),
         patch_size=CFG["patch_size"], depth=CFG["depth"], heads=CFG["heads"],
@@ -215,6 +230,11 @@ def main():
         "reference_self_noise": round(self_noise, 5),
         "reference_max_logit_err_vs_fp64": round(ref_vs_truth, 5),
         "mixed_precision_max_logit_err_vs_fp64": round(mixed_vs_truth, 5),
+        # int8 fused-kernel serving mode (utils/quantize.py w8a8_kernel) —
+        # the serving-throughput ceiling; not a parity config (max|dlogit|
+        # ~0.11 vs bf16, see PERFORMANCE.md int8 section)
+        "int8_kernel_images_per_sec": round(int8_ips, 2) if int8_ips else None,
+        "int8_kernel_vs_baseline": round(int8_ips / ref_ips, 3) if int8_ips else None,
         # service-health probe (trivial-matmul p50 before timing anything;
         # a degraded tunnel episode poisons absolute numbers)
         "probe_matmul_p50_ms": round(probe_ms, 2),

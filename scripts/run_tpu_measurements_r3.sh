@@ -5,6 +5,7 @@
 set -u
 mkdir -p /tmp/r3_tpu
 cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
 run() {
   name=$1; shift

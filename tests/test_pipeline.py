@@ -104,3 +104,20 @@ def test_spmd_pipeline_generic_blocks():
     for i in range(depth):
         ref = block_fn(jax.tree.map(lambda a: a[i], params), ref)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6)
+
+
+def test_pipeline_qkv_bias_model_matches_single_device():
+    """The HF/timm-imported config (qkv_bias=True) must pipeline too: its
+    flax attention path doesn't mask padded key columns, so the wrapper
+    must skip the sublane pad exactly like Transformer.auto_pad does
+    (regression: it used to pad unconditionally and crash)."""
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=64, depth=4,
+                heads=4, mlp_dim=128, dim_head=16, qkv_bias=True)
+    img = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    mesh = make_pipeline_mesh(n_pipe=4, n_data=2)
+    fn = jax.jit(lambda v, im: pipeline_vit_apply(model, v, im, mesh, n_micro=4))
+    np.testing.assert_allclose(
+        np.asarray(fn(variables, img)), np.asarray(model.apply(variables, img)),
+        atol=1e-5, rtol=1e-5,
+    )

@@ -356,3 +356,24 @@ class TestJpegFolderDataset:
         rows = list(ds.epochs(2))
         assert len(rows) == 4
         assert [e for e, _, _ in rows] == [0, 0, 1, 1]
+
+
+def test_jpeg_folder_dataset_abandoned_epoch_stops_producer():
+    """Dropping the epoch generator mid-pass (e.g. one next() for init
+    shapes) must stop the prefetch thread instead of leaving it blocked
+    on q.put with decoded batches pinned (regression)."""
+    import threading
+    import time
+
+    from vit_tpu.data import JpegFolderDataset
+
+    samples = TestJpegFolderDataset()._samples(12)
+    ds = JpegFolderDataset(samples, batch_size=2, size=32, prefetch=True)
+    before = threading.active_count()
+    it = ds.epoch(0)
+    next(it)  # producer is now live and prefetching
+    it.close()  # GeneratorExit at the yield -> finally -> stop + join
+    deadline = time.time() + 6.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

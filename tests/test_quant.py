@@ -598,3 +598,29 @@ def test_vit_apply_qat_matches_deployed_w8a8_and_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_quantize_weights_stacked_kernels_get_per_layer_scales():
+    """A scan-stacked (depth, K, N) kernel must carry per-LAYER scales:
+    one global scale would inflate rounding error for layers whose |w|max
+    is smaller than the depth-wide maximum (regression: scales used to
+    reduce over the depth axis too)."""
+    import numpy as np
+
+    from vit_tpu.utils.quantize import quantize_weights
+
+    rng = np.random.default_rng(0)
+    # layer 0's weights are 8x larger than layer 1's
+    stacked = jnp.asarray(
+        np.stack([rng.normal(0, 1.0, (64, 32)), rng.normal(0, 0.125, (64, 32))])
+    ).astype(jnp.float32)
+    q = quantize_weights({"params": {"qkv_kernel": stacked}}, min_size=1)
+    leaf = q["params"]["qkv_kernel"]
+    assert leaf["__scale__"].shape == (2, 1, 32)
+    deq = leaf["__w8__"].astype(jnp.float32) * leaf["__scale__"]
+    err = np.abs(np.asarray(deq - stacked))
+    # each layer's rounding error is bounded by ITS OWN scale's half-step
+    own_half_step = np.asarray(leaf["__scale__"]) / 2 * 1.0001
+    assert (err <= own_half_step).all()
+    # and layer 1's error is ~8x smaller than layer 0's, per-layer scaling
+    assert err[1].max() < err[0].max() * 0.25

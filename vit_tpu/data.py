@@ -30,9 +30,9 @@ _FLAG_FAST_IDCT = 2   # JDCT_IFAST + plain upsampling
 _ABI_VERSION = 2
 
 
-def _open_lib() -> Optional[ctypes.CDLL]:
+def _open_lib(path: str = _LIB_PATH) -> Optional[ctypes.CDLL]:
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
     try:
@@ -40,6 +40,28 @@ def _open_lib() -> Optional[ctypes.CDLL]:
             return None
     except AttributeError:  # pre-versioning binary
         return None
+    return lib
+
+
+def _open_rebuilt_lib() -> Optional[ctypes.CDLL]:
+    """Load the just-rebuilt library through a UNIQUE temp path: glibc's
+    dlopen caches by pathname and ctypes never dlcloses, so re-CDLL'ing
+    ``_LIB_PATH`` after a rebuild would return the stale pre-rebuild
+    mapping whenever the old binary was already opened this process."""
+    import shutil
+    import tempfile
+
+    try:
+        fd, tmp = tempfile.mkstemp(prefix="libvitjpeg-", suffix=".so")
+        os.close(fd)
+        shutil.copy2(_LIB_PATH, tmp)
+    except OSError:
+        return _open_lib()
+    lib = _open_lib(tmp)
+    try:  # the mapping survives the unlink; keeps /tmp clean
+        os.unlink(tmp)
+    except OSError:
+        pass
     return lib
 
 
@@ -53,7 +75,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
             )
         except Exception:  # noqa: BLE001 — no toolchain / no libjpeg
             return None
-        lib = _open_lib()
+        lib = _open_rebuilt_lib()
         if lib is None:
             return None
     lib.vt_decode_jpeg_batch.restype = ctypes.c_int
@@ -244,27 +266,47 @@ class JpegFolderDataset:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=2)  # bounded lookahead
+        # consumer-abandonment guard: a generator dropped mid-epoch (e.g.
+        # one next() for init shapes) raises GeneratorExit at the yield —
+        # without it the producer would block on q.put forever, pinning a
+        # thread plus up to maxsize decoded+device-put batches
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def producer():
             try:
                 for idx in batches:
+                    if stop.is_set():
+                        return
                     images, labels = self._load(idx)
                     # async copy: overlaps the in-flight train step
-                    q.put((jax.device_put(images), jax.device_put(labels)))
-                q.put(None)
+                    if not _put((jax.device_put(images), jax.device_put(labels))):
+                        return
+                _put(None)
             except Exception as e:  # surface decode errors on the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
 
     def epochs(self, n: int) -> Iterator:
         """``n`` epochs back to back, yielding ``(epoch, images, labels)``."""

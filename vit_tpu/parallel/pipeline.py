@@ -199,14 +199,17 @@ def pipeline_vit_apply(
     )
     x = x + pos.astype(x.dtype)
 
-    # one-time sublane pad, identical to Transformer.auto_pad
+    # one-time sublane pad, identical to Transformer.auto_pad — including
+    # its guard: the qkv-bias (flax submodule) attention path doesn't mask
+    # padded key columns, so HF/timm-imported ViTs run unpadded here too
     n = x.shape[1]
-    sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
-    n_pad = -(-n // sublanes) * sublanes
     true_tokens = None
-    if n_pad != n:
-        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-        true_tokens = n
+    if not model.qkv_bias:
+        sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
+        n_pad = -(-n // sublanes) * sublanes
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+            true_tokens = n
 
     block = EncoderBlock(
         dim=model.dim,

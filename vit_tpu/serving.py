@@ -59,6 +59,10 @@ class BatchingServer:
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # serializes submit vs close: guarantees no request is ever enqueued
+        # AFTER the shutdown sentinel (which the batcher treats as
+        # end-of-stream — a straggler behind it would strand its Future)
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -67,10 +71,11 @@ class BatchingServer:
     def submit(self, item: Union[bytes, np.ndarray]) -> Future:
         """Enqueue one request (JPEG bytes or a decoded uint8 image);
         returns a ``Future`` resolving to that request's logits row."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         f: Future = Future()
-        self._q.put((item, f))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put((item, f))
         return f
 
     def classify(self, item: Union[bytes, np.ndarray], timeout: float = None) -> np.ndarray:
@@ -79,10 +84,12 @@ class BatchingServer:
 
     def close(self, timeout: float = 10.0) -> None:
         """Drain outstanding requests and stop the batcher thread."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
-            self._q.put(None)  # wake the batcher
-            self._thread.join(timeout=timeout)
+            self._q.put(None)  # wake the batcher; nothing can follow it
+        self._thread.join(timeout=timeout)
 
     def __enter__(self):
         return self

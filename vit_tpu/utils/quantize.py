@@ -177,6 +177,39 @@ def _encoder_w8a8(
     return x[:, :true_n] if true_n is not None else x
 
 
+def _patch_embed_gemm(p: Dict[str, Any], img: jax.Array, patch_size, dtype) -> jax.Array:
+    """Patchify + patch-embed GEMM with fp32 epilogue (mirrors PatchEmbed).
+    Shared by every quantized/QAT forward in this module — the embed/head
+    wrapper exists ONCE so the three modes can't drift apart."""
+    x = ops.patchify(img, patch_size)
+    proj = p["patch_embed"]["proj"]
+    return (
+        jnp.matmul(
+            x.astype(dtype), proj["kernel"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + proj["bias"]
+    ).astype(dtype)
+
+
+def _vit_embed(model, p: Dict[str, Any], img: jax.Array, dtype) -> jax.Array:
+    """ViT token stream: patch embed -> prepend cls -> learned positions."""
+    x = _patch_embed_gemm(p, img, model.patch_size, dtype)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(p["cls"].astype(dtype), (b, 1, model.dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + p["pos_embedding"].astype(dtype)
+
+
+def _pool_and_head(p: Dict[str, Any], x: jax.Array, pool: str, eps: float) -> jax.Array:
+    """cls-or-mean pool -> fp32 head LayerNorm -> classifier GEMM."""
+    x = x[:, 0] if pool == "cls" else jnp.mean(x, axis=1)
+    hn = p["head_norm"]
+    x = _layer_norm(x.astype(jnp.float32), hn["scale"], hn.get("bias"), eps)
+    head = p["head"]
+    return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
+
+
 def vit_apply_w8a8(
     model, qvars: Dict[str, Any], img: jax.Array, mode: str = "w8a8"
 ) -> jax.Array:
@@ -203,34 +236,14 @@ def vit_apply_w8a8(
     eps = model.norm_eps
     qmm = _make_qmm("w8a8" if mode == "w8a8_kernel" else mode, dtype)
 
-    # patch embed: patchify + float GEMM with fp32 epilogue (PatchEmbed)
-    x = ops.patchify(img, model.patch_size)
-    proj = p["patch_embed"]["proj"]
-    x = (
-        jnp.matmul(
-            x.astype(dtype), proj["kernel"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        + proj["bias"]
-    ).astype(dtype)
-
-    b = x.shape[0]
-    cls = jnp.broadcast_to(p["cls"].astype(dtype), (b, 1, model.dim))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + p["pos_embedding"].astype(dtype)
-
+    x = _vit_embed(model, p, img, dtype)
     x = _encoder_w8a8(
         x, p["encoder"]["blocks"], q, heads=model.heads,
         dim_head=model.dim_head, eps=eps, dtype=dtype,
         activation=model.activation, qmm=qmm,
         kernel_block=(mode == "w8a8_kernel"),
     )
-
-    x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
-    hn = p["head_norm"]
-    x = _layer_norm(x.astype(jnp.float32), hn["scale"], hn["bias"], eps)
-    head = p["head"]
-    return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
+    return _pool_and_head(p, x, model.pool, eps)
 
 
 def _ste_qmm(dtype):
@@ -298,31 +311,13 @@ def vit_apply_qat(model, variables: Dict[str, Any], img: jax.Array) -> jax.Array
         "ff": {k: v for k, v in ff.items() if k not in ("w1", "w2")},
     }
 
-    x = ops.patchify(img, model.patch_size)
-    proj = p["patch_embed"]["proj"]
-    x = (
-        jnp.matmul(
-            x.astype(dtype), proj["kernel"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        + proj["bias"]
-    ).astype(dtype)
-    b = x.shape[0]
-    cls = jnp.broadcast_to(p["cls"].astype(dtype), (b, 1, model.dim))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + p["pos_embedding"].astype(dtype)
-
+    x = _vit_embed(model, p, img, dtype)
     x = _encoder_w8a8(
         x, blocks_view, q, heads=model.heads, dim_head=model.dim_head,
         eps=model.norm_eps, dtype=dtype, activation=model.activation,
         qmm=_ste_qmm(dtype),
     )
-
-    x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
-    hn = p["head_norm"]
-    x = _layer_norm(x.astype(jnp.float32), hn["scale"], hn["bias"], model.norm_eps)
-    head = p["head"]
-    return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
+    return _pool_and_head(p, x, model.pool, model.norm_eps)
 
 
 # ---------------------------------------------------------------------------
@@ -333,11 +328,17 @@ _W8_KEYS = ("kernel", "w1", "w2", "qkv_kernel", "out_kernel", "q_kernel",
 
 
 def _quantize_leaf(w: jax.Array) -> Dict[str, jax.Array]:
-    """Symmetric per-output-channel int8 over ALL leading axes (covers
-    Dense (K,N), conv (H,W,I,O), and scan-stacked (depth,K,N) kernels —
-    one scale per trailing-axis channel)."""
+    """Symmetric per-output-channel int8: one scale per trailing-axis
+    channel, and — for ndim >= 3 — per leading-axis slice too, so a
+    scan-stacked ``(depth, K, N)`` kernel gets per-LAYER scales rather
+    than one scale shared across every layer's magnitude range (a layer
+    with small |w|max would otherwise inherit the global max's scale and
+    multiply its rounding error). Dequantize is elementwise in-graph, so
+    any broadcastable scale shape is numerically exact; the extra bytes
+    are depth x N fp32 — negligible."""
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    reduce_axes = tuple(range(1 if w.ndim >= 3 else 0, w.ndim - 1))
+    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     w_i8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return {"__w8__": w_i8, "__scale__": scale.astype(jnp.float32)}
@@ -476,15 +477,7 @@ def simple_vit_apply_w8a8(
         img = img.transpose(0, 2, 3, 1)
     gh = img.shape[1] // model.patch_size
     gw = img.shape[2] // model.patch_size
-    x = ops.patchify(img, model.patch_size)
-    proj = p["patch_embed"]["proj"]
-    x = (
-        jnp.matmul(
-            x.astype(dtype), proj["kernel"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        + proj["bias"]
-    ).astype(dtype)
+    x = _patch_embed_gemm(p, img, model.patch_size, dtype)
     x = x + ops.posemb_sincos_2d(gh, gw, model.dim, dtype=x.dtype)[None]
 
     x = _encoder_w8a8(
@@ -492,8 +485,6 @@ def simple_vit_apply_w8a8(
         dim_head=model.dim_head, eps=eps, dtype=dtype,
         activation="gelu", qmm=qmm,
     )
-
-    x = jnp.mean(x, axis=1)
-    x = _layer_norm(x.astype(jnp.float32), p["head_norm"]["scale"], None, eps)
-    head = p["head"]
-    return jnp.matmul(x, head["kernel"], preferred_element_type=jnp.float32) + head["bias"]
+    # SimpleViT head norm is bias-free (use_bias=False) — _pool_and_head's
+    # hn.get("bias") resolves to None on this tree
+    return _pool_and_head(p, x, "mean", eps)
