@@ -326,3 +326,38 @@ def test_gspmd_train_step_with_dropout_and_remat():
     step_noremat = make_train_step(model, remat=False)
     _, loss2 = step_noremat(state, img, labels)
     assert jnp.isfinite(loss2)
+
+
+def test_hybrid_mesh_keeps_model_groups_inside_a_slice():
+    """Multi-slice layout contract: every model-axis (tp) group must live
+    entirely in ONE slice so its per-layer collectives ride ICI; only the
+    data axis crosses the slice (DCN) boundary. Slices are faked on the
+    8 CPU devices: devices 0-3 = slice 0, devices 4-7 = slice 1."""
+    from vit_tpu.parallel import make_hybrid_mesh
+
+    fake_slice = lambda d: d.id // 4  # noqa: E731
+    mesh = make_hybrid_mesh(n_model=2, slice_index_fn=fake_slice)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    grid = np.asarray(mesh.devices)
+    for row in grid:  # each row is one tp group
+        assert len({fake_slice(d) for d in row}) == 1
+    # the data axis does span both slices
+    assert {fake_slice(d) for d in grid[:, 0]} == {0, 1}
+
+    # a model group may not straddle slices: 3 devices per fake slice
+    # can't host n_model=2 groups cleanly
+    try:
+        make_hybrid_mesh(n_model=2, devices=jax.devices()[:6],
+                         slice_index_fn=lambda d: d.id // 3)
+    except ValueError as e:
+        assert "straddle" in str(e)
+    else:
+        raise AssertionError("expected ValueError for straddling groups")
+
+    # and the stock GSPMD train step runs unchanged on the hybrid mesh
+    img = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 10
+    state = create_train_state(MODEL, jax.random.PRNGKey(1), img[:1], mesh=mesh)
+    step = make_train_step(MODEL)
+    state, loss = step(state, shard_batch(img, mesh), shard_batch(labels, mesh))
+    assert np.isfinite(float(loss))

@@ -229,6 +229,14 @@ def test_w8a8_simple_vit_logits_close():
     assert got.shape == ref.shape
     scale = max(np.abs(ref).max(), 1.0)
     assert np.abs(got - ref).max() / scale < 0.05
+    # the fused-kernel encoder mode (interpret on CPU) matches the XLA
+    # int8 mode to kernel-accumulation tolerance
+    got_k = np.asarray(
+        jax.jit(
+            lambda v, x: simple_vit_apply_w8a8(model, v, x, mode="w8a8_kernel")
+        )(qvars, img)
+    )
+    assert np.abs(got_k - got).max() / scale < 0.02, np.abs(got_k - got).max()
 
 
 def test_fused_quant_block_kernel_interpret():

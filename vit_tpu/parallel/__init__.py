@@ -10,6 +10,7 @@ from vit_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     data_sharding,
+    make_hybrid_mesh,
     make_mesh,
     replicated,
 )

@@ -466,12 +466,14 @@ def simple_vit_apply_w8a8(
 ) -> jax.Array:
     """Quantized inference forward for ``vit_tpu.models.SimpleViT``
     (no cls token, fixed sin-cos positions, mean pool, eps 1e-5 —
-    models/simple_vit.py)."""
-    assert mode in ("w8a8", "w8")
+    models/simple_vit.py). All three modes, including the fused-kernel
+    encoder (SimpleViT's raw-param layout has no qkv bias, so the kernel
+    path applies unchanged)."""
+    assert mode in ("w8a8", "w8", "w8a8_kernel")
     p, q = qvars["params"], qvars["quant"]
     dtype = model.dtype or jnp.float32
     eps = 1e-5  # simple_vit.py: encoder and head_norm
-    qmm = _make_qmm(mode, dtype)
+    qmm = _make_qmm("w8a8" if mode == "w8a8_kernel" else mode, dtype)
 
     if model.channels_first:
         img = img.transpose(0, 2, 3, 1)
@@ -484,6 +486,7 @@ def simple_vit_apply_w8a8(
         x, p["encoder"]["blocks"], q, heads=model.heads,
         dim_head=model.dim_head, eps=eps, dtype=dtype,
         activation="gelu", qmm=qmm,
+        kernel_block=(mode == "w8a8_kernel"),
     )
     # SimpleViT head norm is bias-free (use_bias=False) — _pool_and_head's
     # hn.get("bias") resolves to None on this tree
