@@ -36,6 +36,13 @@ def timed(fn, *args, iters=10):
 
 
 def main():
+    # "sweep": batch sweep across the w8a8-vs-kernel crossover, to pin
+    # utils/quantize.py's W8A8_KERNEL_MIN_BATCH from data (the headline
+    # table only brackets it: XLA wins at 8, kernel at 128).
+    batches = (128, 8, 1)
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        batches = (8, 16, 24, 32, 48, 64)
+
     print(f"probe {probe_ms():.1f} ms", flush=True)
     from vit_tpu.models import ViT
     from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
@@ -52,7 +59,7 @@ def main():
         lambda v, x: vit_apply_w8a8(model, v, x, mode="w8a8_kernel")
     )
 
-    for batch in (128, 8, 1):
+    for batch in batches:
         img = jnp.asarray(
             np.random.default_rng(0).normal(0, 1, (batch, 224, 224, 3)), jnp.bfloat16
         )

@@ -632,3 +632,42 @@ def test_quantize_weights_stacked_kernels_get_per_layer_scales():
     assert (err <= own_half_step).all()
     # and layer 1's error is ~8x smaller than layer 0's, per-layer scaling
     assert err[1].max() < err[0].max() * 0.25
+
+
+def test_auto_mode_resolution_and_equivalence():
+    """mode="auto" picks the fastest measured mode per batch size at trace
+    time (PERFORMANCE.md int8 table) and its logits are bitwise the logits
+    of the mode it resolves to."""
+    from vit_tpu.utils.quantize import (
+        W8A8_KERNEL_MIN_BATCH,
+        quantize_vit,
+        resolve_quant_mode,
+        vit_apply_w8a8,
+    )
+
+    # The measured regimes: weight-HBM-bound batch 1 -> w8; mid-batch ->
+    # XLA int8; kernel from the crossover up.
+    assert resolve_quant_mode(1) == "w8"
+    assert resolve_quant_mode(8) == "w8a8"
+    assert resolve_quant_mode(W8A8_KERNEL_MIN_BATCH) == "w8a8_kernel"
+    assert resolve_quant_mode(128) == "w8a8_kernel"
+
+    model = _small_vit()
+    rng = np.random.default_rng(11)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 32, 32, 3))
+    )
+    qvars = quantize_vit(variables)
+    for batch in (1, 8, W8A8_KERNEL_MIN_BATCH):
+        img = jnp.asarray(rng.normal(0, 1, (batch, 32, 32, 3)).astype(np.float32))
+        auto = np.asarray(
+            jax.jit(lambda v, x: vit_apply_w8a8(model, v, x, mode="auto"))(qvars, img)
+        )
+        explicit = np.asarray(
+            jax.jit(
+                lambda v, x, m=resolve_quant_mode(batch): vit_apply_w8a8(
+                    model, v, x, mode=m
+                )
+            )(qvars, img)
+        )
+        np.testing.assert_array_equal(auto, explicit)

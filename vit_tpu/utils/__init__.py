@@ -27,6 +27,7 @@ from vit_tpu.utils.interop import (  # noqa: F401
 from vit_tpu.utils.parity import fp64_vit_forward, max_logit_err  # noqa: F401
 from vit_tpu.utils.quantize import (  # noqa: F401
     quantize_vit,
+    resolve_quant_mode,
     simple_vit_apply_w8a8,
     vit_apply_w8a8,
 )

@@ -72,6 +72,31 @@ def quantize_vit(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "quant": quant}
 
 
+# Measured mode selection (PERFORMANCE.md int8 table, real v5e chip,
+# ViT-L/16 @224): the fused-kernel encoder wins big once the batch grid
+# amortizes its VMEM weight residency (batch 128: 1694 img/s vs 1215 XLA
+# w8a8), the XLA int8 path wins the mid-batch regime (batch 8: 905 vs 831),
+# and at batch 1 all modes converge to the weight-HBM bound (~232-238) where
+# weight-only `w8` carries ~half the logit error for the same speed. The
+# kernel/XLA crossover is bounded in (8, 128); until the finer sweep
+# (scripts/bench_quant.py sweep) pins it, 32 is the conservative cut.
+W8A8_KERNEL_MIN_BATCH = 32
+
+
+def resolve_quant_mode(batch: int) -> str:
+    """Fastest measured execution mode for a given serving batch size.
+
+    Trace-time decision (batch is a static shape under jit), so "auto"
+    costs nothing in-graph; each distinct batch size compiles its best
+    mode. See the table in PERFORMANCE.md §int8.
+    """
+    if batch >= W8A8_KERNEL_MIN_BATCH:
+        return "w8a8_kernel"
+    if batch > 1:
+        return "w8a8"
+    return "w8"
+
+
 def _make_qmm(mode: str, dtype):
     if mode == "w8a8":
         return int8_matmul
@@ -229,7 +254,13 @@ def vit_apply_w8a8(
     per layer (ops/quant_block.py: attention block + MLP block — LN,
     in-VMEM per-token quant, int8 GEMMs, softmax/GELU, residual). Requires
     the raw-param layout (no qkv bias).
+
+    ``mode="auto"`` picks the fastest measured mode for the batch size at
+    trace time (``resolve_quant_mode``): the fused kernel at serving
+    batches, the XLA int8 path mid-batch, weight-only at batch 1.
     """
+    if mode == "auto":
+        mode = resolve_quant_mode(img.shape[0])
     assert mode in ("w8a8", "w8", "w8a8_kernel")
     p, q = qvars["params"], qvars["quant"]
     dtype = model.dtype or jnp.float32
@@ -466,9 +497,11 @@ def simple_vit_apply_w8a8(
 ) -> jax.Array:
     """Quantized inference forward for ``vit_tpu.models.SimpleViT``
     (no cls token, fixed sin-cos positions, mean pool, eps 1e-5 —
-    models/simple_vit.py). All three modes, including the fused-kernel
-    encoder (SimpleViT's raw-param layout has no qkv bias, so the kernel
-    path applies unchanged)."""
+    models/simple_vit.py). All modes of ``vit_apply_w8a8`` including
+    ``"auto"`` and the fused-kernel encoder (SimpleViT's raw-param layout
+    has no qkv bias, so the kernel path applies unchanged)."""
+    if mode == "auto":
+        mode = resolve_quant_mode(img.shape[0])
     assert mode in ("w8a8", "w8", "w8a8_kernel")
     p, q = qvars["params"], qvars["quant"]
     dtype = model.dtype or jnp.float32
