@@ -1,6 +1,7 @@
 """Serving example: JPEG bytes -> logits, end to end.
 
   python examples/serve.py image1.jpg image2.jpg ...
+  python examples/serve.py --quantize auto image1.jpg    # fastest int8 mode per batch
   python examples/serve.py --quantize w8a8 image1.jpg    # int8 encoder GEMMs
   python examples/serve.py --quantize w8 image1.jpg      # weight-only int8
 
@@ -37,7 +38,7 @@ def main():
                                            jnp.zeros((1, 224, 224, 3), jnp.bfloat16)))()
 
     apply_fn = None
-    if quantize in ("w8a8", "w8a8_kernel"):
+    if quantize in ("w8a8", "w8a8_kernel", "auto"):
         # int8 encoder GEMMs (dedicated ViT path: ops/quant.py)
         from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
 
