@@ -195,6 +195,85 @@ def main():
         except Exception as e:
             print(f"mlp block_t {block_t:5d}       FAILED {type(e).__name__}", flush=True)
 
+    # --- floor probe: pure copy kernels at several grid sizes -------------
+    def copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    for gb in (1, 2, 4, 8):
+        @jax.jit
+        def f_copy(t, gb=gb):
+            return pl.pallas_call(
+                copy_kernel,
+                grid=(B // gb,),
+                in_specs=[pl.BlockSpec((gb, N, DIM), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((gb, N, DIM), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, N, DIM), t.dtype),
+            )(t)
+
+        ms = chain_timed(f_copy, x)
+        print(f"copy grid {B//gb:4d} programs  {ms:7.3f} ms", flush=True)
+
+    # --- MLP: hidden-chunked variant (h never fully resident; bf16 gelu) --
+    # h computed in CH-wide column chunks of w1, quantized per chunk, each
+    # chunk's int8 panel contracted against its w2 row block into one int32
+    # accumulator: halves/quarters the h footprint so block_t can grow and
+    # the program count shrinks.
+    for block_t, ch in ((512, 2048), (1024, 2048), (1024, 1024), (2048, 1024)):
+        n_ch = MLP // ch
+
+        def mlp_chunk_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                             b2_ref, ls_ref, lb_ref, o_ref, *, block_t=block_t,
+                             ch=ch, n_ch=n_ch):
+            xx = x_ref[:].astype(jnp.float32)
+            xn = _ln_f32(xx, ls_ref[0].astype(jnp.float32),
+                         lb_ref[0].astype(jnp.float32), 1e-6)
+            x_i8, s_row = _quant_rows_f32(xn)
+            acc = jnp.zeros((block_t, DIM), jnp.float32)
+            for c in range(n_ch):
+                h = jax.lax.dot(x_i8, w1_ref[:, c * ch:(c + 1) * ch],
+                                preferred_element_type=jnp.int32)
+                h = (h.astype(jnp.float32) * s_row * s1_ref[0, c * ch:(c + 1) * ch]
+                     + b1_ref[0, c * ch:(c + 1) * ch])
+                h = jax.nn.gelu(h.astype(jnp.bfloat16)).astype(jnp.float32)
+                h_i8, sr2 = _quant_rows_f32(h)
+                part = jax.lax.dot(h_i8, w2_ref[c * ch:(c + 1) * ch, :],
+                                   preferred_element_type=jnp.int32)
+                acc = acc + part.astype(jnp.float32) * sr2
+            o_ref[:] = (acc * s2_ref[0] + b2_ref[0] + xx).astype(o_ref.dtype)
+
+        rows = B * N
+
+        @jax.jit
+        def f_chunk(t, block_t=block_t, mlp_chunk_kernel=mlp_chunk_kernel):
+            xf = t.reshape(rows, DIM)
+            return pl.pallas_call(
+                mlp_chunk_kernel,
+                grid=(rows // block_t,),
+                in_specs=[
+                    pl.BlockSpec((block_t, DIM), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((DIM, MLP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, MLP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, MLP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((MLP, DIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((block_t, DIM), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((rows, DIM), t.dtype),
+            )(xf, w1, s1, b1, w2, s2, b2, ln_s, ln_b).reshape(B, N, DIM)
+
+        try:
+            ms = chain_timed(f_chunk, x)
+            print(f"mlp chunked bt={block_t:4d} ch={ch:4d}  {ms:7.3f} ms/layer",
+                  flush=True)
+        except Exception as e:
+            print(f"mlp chunked bt={block_t:4d} ch={ch:4d}  FAILED "
+                  f"{type(e).__name__}", flush=True)
+
     # roofline context
     gf_mlp = 4 * B * N * DIM * MLP / 1e9
     gf_proj = 2 * B * N * DIM * (3 * HD + HD) / 1e9
