@@ -671,3 +671,77 @@ def test_auto_mode_resolution_and_equivalence():
             )(qvars, img)
         )
         np.testing.assert_array_equal(auto, explicit)
+
+
+import vit_tpu.utils.quantize as quantize_vit_mod
+
+
+def test_auto_mode_falls_back_for_qkv_bias_trees():
+    """HF/timm-style trees (qkv_bias=True) can't take the fused-kernel
+    path (no bias input): auto must fall back to the XLA int8 mode at
+    kernel-regime batch sizes instead of crashing, and an explicit
+    kernel request must fail with a clear error."""
+    import pytest
+
+    from vit_tpu.utils.quantize import (
+        W8A8_KERNEL_MIN_BATCH,
+        quantize_vit,
+        vit_apply_w8a8,
+    )
+
+    model = _small_vit(qkv_bias=True)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 32, 32, 3))
+    )
+    qvars = quantize_vit(variables)
+    img = jnp.ones((W8A8_KERNEL_MIN_BATCH, 32, 32, 3))
+    out = np.asarray(
+        jax.jit(lambda v, x: vit_apply_w8a8(model, v, x, mode="auto"))(qvars, img)
+    )
+    ref = np.asarray(
+        jax.jit(lambda v, x: vit_apply_w8a8(model, v, x, mode="w8a8"))(qvars, img)
+    )
+    np.testing.assert_array_equal(out, ref)
+    with pytest.raises(ValueError, match="w8a8_kernel"):
+        vit_apply_w8a8(model, qvars, img, mode="w8a8_kernel")
+
+
+def test_quantize_vit_accepts_frozen_dict():
+    """Checkpointed trees are often FrozenDict — quantize_vit must accept
+    them without mutating the input (it rebuilds plain dicts)."""
+    import flax
+
+    model = _small_vit()
+    img = jnp.ones((1, 32, 32, 3), jnp.float32)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    frozen = flax.core.freeze(variables)
+    qvars = quantize_vit_mod.quantize_vit(frozen)
+    got = np.asarray(
+        jax.jit(lambda v, x: quantize_vit_mod.vit_apply_w8a8(model, v, x))(qvars, img)
+    )
+    ref = np.asarray(
+        jax.jit(lambda v, x: quantize_vit_mod.vit_apply_w8a8(model, v, x))(
+            quantize_vit_mod.quantize_vit(variables), img
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+    # the frozen input is untouched
+    assert "qkv_kernel" in frozen["params"]["encoder"]["blocks"]["attn"]
+
+
+def test_quantized_forward_tuple_patch_size():
+    """ViT(patch_size=(8, 8)) works under model.apply — the quantized
+    forwards must accept the tuple form too."""
+    from vit_tpu.models import ViT
+
+    model = ViT(
+        image_size=32, patch_size=(8, 8), num_classes=10, dim=64, depth=2,
+        heads=4, dim_head=16, mlp_dim=128,
+    )
+    img = jnp.ones((2, 32, 32, 3), jnp.float32)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, img)
+    qvars = quantize_vit_mod.quantize_vit(variables)
+    out = np.asarray(
+        jax.jit(lambda v, x: quantize_vit_mod.vit_apply_w8a8(model, v, x))(qvars, img)
+    )
+    assert out.shape == (2, 10) and np.isfinite(out).all()

@@ -89,3 +89,26 @@ def test_close_rejects_new_requests():
     srv.close()
     with pytest.raises(RuntimeError):
         srv.submit(_jpeg(0))
+
+
+def test_wrong_shape_predecoded_array_fails_only_itself():
+    """A pre-decoded array whose shape doesn't match the decoder output
+    must fail its own future, not its batchmates (per-request isolation)."""
+    pipe = _pipeline(batch_size=4)
+    decoder = JpegDecoder(size=40)
+    with BatchingServer(pipe, decoder=decoder, max_batch=4, max_wait_ms=30) as srv:
+        f_bad = srv.submit(np.zeros((32, 32, 3), np.uint8))  # decoder is 40
+        f_good = srv.submit(_jpeg(5))
+        with pytest.raises(ValueError):
+            f_bad.result(timeout=60)
+        assert np.isfinite(f_good.result(timeout=60)).all()
+
+
+def test_pending_batch_resolves_without_followup_traffic():
+    """The overlap pipeline keeps one batch in flight; with no further
+    traffic the idle tick must still resolve it (bounded by max_wait)."""
+    pipe = _pipeline(batch_size=2)
+    with BatchingServer(pipe, decoder=JpegDecoder(size=40),
+                        max_batch=2, max_wait_ms=10) as srv:
+        f = srv.submit(_jpeg(7))
+        assert np.isfinite(f.result(timeout=60)).all()

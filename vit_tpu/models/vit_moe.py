@@ -71,6 +71,7 @@ class ViTMoE(nn.Module):
                     num_experts=self.num_experts,
                     num_selected=self.num_selected,
                     capacity_factor=self.capacity_factor,
+                    dropout=self.dropout,
                     ln_eps=self.norm_eps, dtype=self.dtype, name=f"moe_{i}",
                 )(x, deterministic=not train)
             else:

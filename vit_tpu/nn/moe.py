@@ -47,6 +47,7 @@ class MoEFeedForward(nn.Module):
     num_experts: int = 8
     num_selected: int = 2  # k
     capacity_factor: float = 1.25
+    dropout: float = 0.0  # expert-hidden dropout (V-MoE applies it inside experts)
     activation: str = "gelu"
     ln_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
@@ -119,6 +120,8 @@ class MoEFeedForward(nn.Module):
             preferred_element_type=jnp.float32,
         ) + b1[:, None, None, :]
         h = _activate(h, self.activation)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         out = jnp.einsum(
             "ebcf,efd->ebcd", h.astype(dtype), w2.astype(dtype),
             preferred_element_type=jnp.float32,

@@ -28,21 +28,35 @@ import jax
 import jax.numpy as jnp
 
 
+def quantize_symmetric(v: jax.Array, axes) -> Tuple[jax.Array, jax.Array]:
+    """THE symmetric int8 recipe — the one definition every quantization
+    path in the repo shares (weights, dynamic activations, the Pallas
+    kernels' in-VMEM quant, and the QAT straight-through forward), so the
+    QAT-forward == deployed-forward contract can't drift: scale =
+    max(|v|, 1e-12)/127 reduced over ``axes`` (keepdims), value =
+    clip(round(v/scale), ±127).
+
+    Returns ``(v_i8, fp32 scale)`` with ``v ~= v_i8 * scale``. Pure jnp —
+    safe inside Pallas kernels.
+    """
+    vf = v.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(vf), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    v_i8 = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
+    return v_i8, scale
+
+
 def quantize_channelwise(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric per-output-channel int8 quantization of a GEMM weight.
 
-    ``w``: (..., K, N) — quantized along everything but the last axis, one
-    scale per output channel (per trailing-axis slice). Leading axes (e.g.
-    the scan depth axis of stacked encoder weights) keep independent scales
-    per (leading, N) pair.
+    ``w``: (..., K, N) — one scale per output channel (the contraction axis
+    is reduced). Leading axes (e.g. the scan depth axis of stacked encoder
+    weights) keep independent scales per (leading, N) pair.
 
     Returns ``(w_i8, scale)`` with ``w ~= w_i8 * scale`` and ``scale``
     shaped like ``w`` with the contraction axis reduced to 1.
     """
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    w_i8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return w_i8, scale.astype(jnp.float32)
+    return quantize_symmetric(w, -2)
 
 
 def dequantize(w_i8: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -52,11 +66,7 @@ def dequantize(w_i8: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Arra
 def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric per-row (per-token) dynamic int8 quantization of an
     activation ``(..., K)``. Returns ``(x_i8, row_scale (...,1) fp32)``."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, 1e-12) / 127.0
-    x_i8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
-    return x_i8, s
+    return quantize_symmetric(x, -1)
 
 
 def int8_matmul(

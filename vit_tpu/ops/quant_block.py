@@ -31,15 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.block_attention import _ln_f32
-
-
-def _quant_rows_f32(xf):
-    """Symmetric per-row int8 quantization of an fp32 tile: (rows, K) ->
-    (int8 rows, fp32 (rows, 1) scales)."""
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    x_i8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
-    return x_i8, s
+from vit_tpu.ops.quant import quantize_rows as _quant_rows_f32  # one recipe repo-wide
 
 
 def _kernel(

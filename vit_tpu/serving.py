@@ -12,11 +12,15 @@ compiled program for every fill level), and resolves each request's
 
 Design notes, TPU-first:
 - One batcher thread is enough: JPEG decode releases the GIL (C++ decoder)
-  and the device dispatch is asynchronous, so decode of the next batch
-  overlaps device compute of the previous one — the same overlap the
-  streaming loop (``data.classify_jpeg_stream``) exploits.
+  and the device dispatch is asynchronous (``pipeline.dispatch``), so
+  queue-wait + decode of batch k+1 overlaps device compute of batch k —
+  the same overlap the streaming loop (``data.classify_jpeg_stream``)
+  exploits. The in-flight batch resolves as soon as the next one is
+  decoded, or after one ``max_wait_ms`` idle tick when traffic stops.
 - Errors are per-request: a corrupt JPEG fails its own future (decode is
-  retried per-item to isolate the offender); the server keeps serving.
+  retried per-item to isolate the offender), and a pre-decoded array whose
+  shape doesn't match the decoder's output fails its own future instead of
+  breaking the batch stack; the server keeps serving.
 - No dynamic shapes anywhere: every fill level pads to the pipeline's
   compiled batch, so the server never triggers a recompile.
 
@@ -99,11 +103,15 @@ class BatchingServer:
 
     # -- batcher ------------------------------------------------------------
 
-    def _collect(self):
-        """Block for the first request, then gather until max_batch or the
-        first request's deadline. Returns a list of (item, future), or None
-        on shutdown with an empty queue."""
-        first = self._q.get()
+    def _collect(self, block: bool = True):
+        """Gather until max_batch or the first request's deadline. Returns a
+        list of (item, future), None on the shutdown sentinel, or [] when
+        ``block=False`` and nothing arrived within ``max_wait_s`` (the idle
+        tick that lets the batcher resolve an in-flight device batch)."""
+        try:
+            first = self._q.get(timeout=None if block else self.max_wait_s)
+        except queue.Empty:
+            return []
         if first is None:
             return None
         batch = [first]
@@ -123,10 +131,25 @@ class BatchingServer:
 
     def _decode(self, items, futures):
         """Decode payloads to one [n, S, S, 3] uint8 array. A failing JPEG
-        fails only its own future (decode retried per-item to find it);
-        returns (array, futures) for the survivors."""
-        jpeg_idx = [i for i, it in enumerate(items) if isinstance(it, (bytes, bytearray))]
-        decoded = list(items)
+        or a wrong-shape pre-decoded array fails only its own future
+        (decode retried per-item to find the offender); returns
+        (array, futures) for the survivors."""
+        expected = (self.decoder.size, self.decoder.size, 3)
+        jpeg_idx, decoded = [], list(items)
+        for i, it in enumerate(items):
+            if isinstance(it, (bytes, bytearray)):
+                jpeg_idx.append(i)
+            elif getattr(it, "shape", None) != expected:
+                # pre-decoded arrays must match the decoder's output shape —
+                # anything else would fail np.stack and take the whole
+                # batch's futures down with it
+                futures[i].set_exception(ValueError(
+                    f"pre-decoded request has shape "
+                    f"{getattr(it, 'shape', None)}, expected {expected} "
+                    f"(the decoder's output; resize on the client or pass "
+                    f"JPEG bytes)"
+                ))
+                decoded[i] = None
         if jpeg_idx:
             try:
                 arrs = self.decoder([items[i] for i in jpeg_idx])
@@ -144,22 +167,55 @@ class BatchingServer:
             return None, []
         return np.stack([decoded[i] for i in keep]), [futures[i] for i in keep]
 
+    def _resolve(self, pending):
+        """Materialize an in-flight device batch and resolve its futures."""
+        if pending is None:
+            return
+        handles, futures = pending
+        try:
+            logits = np.concatenate([np.asarray(h) for h in handles], axis=0)
+            for i, f in enumerate(futures):
+                f.set_result(logits[i])
+        except Exception as e:  # device-side failure: fail that batch
+            for f in futures:
+                if not f.done():
+                    f.set_exception(e)
+
     def _loop(self):
+        # `pending` holds the previous batch's in-flight device arrays: the
+        # next batch's queue-wait + JPEG decode (GIL-free) runs while the
+        # device computes it — the same decode/compute overlap as
+        # data.classify_jpeg_stream. It resolves as soon as the next batch
+        # is decoded, on an idle tick (max_wait_s with no traffic), or at
+        # shutdown.
+        dispatch = getattr(self.pipeline, "dispatch", None)
+        pending = None
         while True:
-            batch = self._collect()
-            if batch is None:
-                return  # shutdown, queue drained
+            batch = self._collect(block=pending is None)
+            if batch is None:  # shutdown, queue drained
+                self._resolve(pending)
+                return
+            if not batch:  # idle tick
+                self._resolve(pending)
+                pending = None
+                continue
             items, futures = zip(*batch)
+            raw, live = self._decode(list(items), list(futures))
+            self._resolve(pending)  # device time fully overlapped by now
+            pending = None
+            if raw is None:
+                continue
             try:
-                raw, live = self._decode(list(items), list(futures))
-                if raw is None:
-                    continue
-                logits = self.pipeline(raw)
-                for i, f in enumerate(live):
-                    f.set_result(logits[i])
-            except Exception as e:  # device-side failure: fail the batch
-                for f in futures:
+                if dispatch is not None:
+                    pending = (dispatch(raw), live)
+                else:  # plain-callable pipeline: synchronous fallback
+                    logits = self.pipeline(raw)
+                    for i, f in enumerate(live):
+                        f.set_result(logits[i])
+            except Exception as e:
+                for f in live:
                     if not f.done():
                         f.set_exception(e)
             if self._closed and self._q.empty():
+                self._resolve(pending)
                 return

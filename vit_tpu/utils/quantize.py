@@ -28,9 +28,12 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+import flax
+
 from vit_tpu import ops
+from vit_tpu.core.utils import pair
 from vit_tpu.nn.blocks import _activate, _layer_norm
-from vit_tpu.ops.quant import int8_matmul, quantize_channelwise
+from vit_tpu.ops.quant import int8_matmul, quantize_channelwise, quantize_symmetric
 
 
 def quantize_vit(variables: Dict[str, Any]) -> Dict[str, Any]:
@@ -38,9 +41,15 @@ def quantize_vit(variables: Dict[str, Any]) -> Dict[str, Any]:
 
     Returns ``{"params": <tree minus encoder GEMM kernels>, "quant":
     {name: {"w": int8 (depth, K, N), "s": fp32 (depth, 1, N)}}}``. Biases
-    and norm parameters stay fp32 in ``params``.
+    and norm parameters stay fp32 in ``params``. Accepts plain-dict or
+    FrozenDict trees (checkpoints are often frozen) — the input is never
+    mutated either way.
     """
-    params = jax.tree_util.tree_map(lambda x: x, variables["params"])  # copy
+    # unfreeze converts FrozenDict nodes to fresh dicts; the tree_map copy
+    # covers the already-plain-dict case (unfreeze may return it as-is)
+    params = jax.tree_util.tree_map(
+        lambda x: x, flax.core.unfreeze(variables["params"])
+    )
     blocks = params["encoder"]["blocks"]
     attn = blocks["attn"]
     if "to_qkv" in attn:
@@ -206,7 +215,7 @@ def _patch_embed_gemm(p: Dict[str, Any], img: jax.Array, patch_size, dtype) -> j
     """Patchify + patch-embed GEMM with fp32 epilogue (mirrors PatchEmbed).
     Shared by every quantized/QAT forward in this module — the embed/head
     wrapper exists ONCE so the three modes can't drift apart."""
-    x = ops.patchify(img, patch_size)
+    x = ops.patchify(img, *pair(patch_size))
     proj = p["patch_embed"]["proj"]
     return (
         jnp.matmul(
@@ -257,12 +266,24 @@ def vit_apply_w8a8(
 
     ``mode="auto"`` picks the fastest measured mode for the batch size at
     trace time (``resolve_quant_mode``): the fused kernel at serving
-    batches, the XLA int8 path mid-batch, weight-only at batch 1.
+    batches, the XLA int8 path mid-batch, weight-only at batch 1. Trees
+    that carry a qkv bias (HF/timm imports) can't take the kernel path
+    (it has no bias input) — auto falls back to the XLA int8 mode there.
     """
+    p, q = qvars["params"], qvars["quant"]
+    has_qkv_bias = p["encoder"]["blocks"]["attn"].get("qkv_bias") is not None
     if mode == "auto":
         mode = resolve_quant_mode(img.shape[0])
+        if mode == "w8a8_kernel" and has_qkv_bias:
+            mode = "w8a8"
+    if mode == "w8a8_kernel" and has_qkv_bias:
+        raise ValueError(
+            "mode='w8a8_kernel' requires the raw-param layout without a qkv "
+            "bias (the fused kernel has no bias input); this tree came from "
+            "a qkv_bias=True model (HF/timm import) — use mode='w8a8'/'w8'/"
+            "'auto' instead"
+        )
     assert mode in ("w8a8", "w8", "w8a8_kernel")
-    p, q = qvars["params"], qvars["quant"]
     dtype = model.dtype or jnp.float32
     eps = model.norm_eps
     qmm = _make_qmm("w8a8" if mode == "w8a8_kernel" else mode, dtype)
@@ -290,9 +311,8 @@ def _ste_qmm(dtype):
 
     def fq(v, axes):
         vf = v.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(vf), axis=axes, keepdims=True)
-        s = jnp.maximum(amax, 1e-12) / 127.0
-        q = jnp.clip(jnp.round(vf / s), -127, 127) * s
+        v_i8, s = quantize_symmetric(vf, axes)  # the deployed recipe, exactly
+        q = v_i8.astype(jnp.float32) * s
         return vf + jax.lax.stop_gradient(q - vf)
 
     def qmm(x, w, _scale_unused, bias=None, out_dtype=None):
@@ -367,12 +387,9 @@ def _quantize_leaf(w: jax.Array) -> Dict[str, jax.Array]:
     multiply its rounding error). Dequantize is elementwise in-graph, so
     any broadcastable scale shape is numerically exact; the extra bytes
     are depth x N fp32 — negligible."""
-    wf = w.astype(jnp.float32)
     reduce_axes = tuple(range(1 if w.ndim >= 3 else 0, w.ndim - 1))
-    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    w_i8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"__w8__": w_i8, "__scale__": scale.astype(jnp.float32)}
+    w_i8, scale = quantize_symmetric(w, reduce_axes)
+    return {"__w8__": w_i8, "__scale__": scale}
 
 
 def quantize_weights(
@@ -510,8 +527,9 @@ def simple_vit_apply_w8a8(
 
     if model.channels_first:
         img = img.transpose(0, 2, 3, 1)
-    gh = img.shape[1] // model.patch_size
-    gw = img.shape[2] // model.patch_size
+    ph, pw = pair(model.patch_size)
+    gh = img.shape[1] // ph
+    gw = img.shape[2] // pw
     x = _patch_embed_gemm(p, img, model.patch_size, dtype)
     x = x + ops.posemb_sincos_2d(gh, gw, model.dim, dtype=x.dtype)[None]
 
