@@ -13,6 +13,7 @@ max-logit error (target <=1e-2).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -61,11 +62,15 @@ def timed_latency(fn, *args, iters=ITERS):
     return float(np.percentile(ts, 50)), float(np.percentile(ts, 90))
 
 
-def probe_service(threshold_ms=8.0, attempts=10, wait_s=150):
+def probe_service(threshold_ms=None, attempts=10, wait_s=150):
     """The tunneled TPU service has degraded episodes that poison every
     timing (observed: trivial matmuls hanging for minutes). Probe with a
     small matmul; if slow, wait and retry a few times so an unattended
-    bench run lands on a healthy service when possible."""
+    bench run lands on a healthy service when possible.
+    ``VIT_TPU_PROBE_GATE_MS`` overrides the threshold (e.g. to take a
+    ratio-only run in a marginal window instead of waiting 25 min)."""
+    if threshold_ms is None:
+        threshold_ms = float(os.environ.get("VIT_TPU_PROBE_GATE_MS", "8"))
     f = jax.jit(lambda a: a @ a)
     x = jnp.ones((2048, 2048), jnp.bfloat16)
     probe_ms = None
@@ -78,7 +83,9 @@ def probe_service(threshold_ms=8.0, attempts=10, wait_s=150):
             ts.append(time.perf_counter() - t0)
         probe_ms = float(np.percentile(ts, 50) * 1e3)
         if probe_ms <= threshold_ms:
-            return probe_ms, False
+            # the reported degraded flag stays anchored to the canonical
+            # 8 ms bar even when the retry gate was overridden wider
+            return probe_ms, probe_ms > 8.0
         print(f"# probe matmul p50 {probe_ms:.1f} ms > {threshold_ms} — degraded "
               f"service, retry {i + 1}/{attempts} in {wait_s}s", file=sys.stderr)
         time.sleep(wait_s)
