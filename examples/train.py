@@ -108,8 +108,10 @@ def main():
             k1, k2 = jax.random.split(rng)
             return aug.mixup_or_cutmix(k2, aug.random_hflip(k1, imgs), t)
 
+    # donate: the loop overwrites state each step, so XLA reuses the old
+    # params/opt-moment buffers instead of holding both during the update
     step = make_train_step(model, optimizer, augment_fn=augment_fn,
-                           accum_steps=args.accum)
+                           accum_steps=args.accum, donate=True)
 
     ema = None
     if args.ema is not None:

@@ -377,3 +377,81 @@ def test_jpeg_folder_dataset_abandoned_epoch_stops_producer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_preprocess_preserves_aspect_ratio():
+    """Non-square inputs: the SHORT side scales to resize_to and the long
+    side keeps its aspect (the standard eval transform the docstring
+    promises) — not a squash to (resize_to, resize_to)."""
+    rng = np.random.default_rng(0)
+    raw = (rng.random((1, 48, 96, 3)) * 255).astype(np.uint8)  # 2:1 wide
+    out = preprocess(jnp.asarray(raw), image_size=32, resize_to=36,
+                     dtype=jnp.float32)
+    assert out.shape == (1, 32, 32, 3)
+    # reference: short side 48 -> 36, long side 96 -> 72, then center crop
+    img = jnp.asarray(raw, jnp.float32) / 255.0
+    ref = jax.image.resize(img, (1, 36, 72, 3), method="bilinear")
+    ref = ref[:, 2:34, 20:52, :]
+    from vit_tpu.pipeline import normalize
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(normalize(ref, dtype=jnp.float32)),
+        rtol=0, atol=1e-5,
+    )
+
+
+def test_pipeline_tuple_output_model_serves_logits():
+    """Models whose apply returns (logits, distill) — LeViT's train-time
+    head — must serve classification logits, not a tuple-axis slice."""
+    variables = _variables()
+    tuple_apply = lambda v, x: (MODEL.apply(v, x), jnp.zeros((x.shape[0], 10)))
+    pipe = InferencePipeline(MODEL, variables, image_size=32, batch_size=4,
+                             apply_fn=tuple_apply)
+    raw = (np.random.rand(6, 48, 48, 3) * 255).astype(np.uint8)
+    out = pipe(raw)
+    assert out.shape == (6, 10) and np.isfinite(out).all()
+
+
+def test_pipeline_empty_batch():
+    variables = _variables()
+    pipe = InferencePipeline(MODEL, variables, image_size=32, batch_size=4)
+    out = pipe(np.zeros((0, 48, 48, 3), np.uint8))
+    assert out.shape == (0, 10)
+
+
+def test_exported_serving_rejects_garbage_with_value_error():
+    import pytest
+
+    from vit_tpu.utils.aot import ExportedServing
+
+    with pytest.raises(ValueError, match="not a vit_tpu AOT"):
+        ExportedServing(b"definitely not a zip")
+
+
+def test_train_step_donate_runs():
+    """donate=True (examples/train.py's setting) must step normally when
+    the caller overwrites state."""
+    from vit_tpu.train import create_train_state, make_train_step
+
+    model = MODEL
+    imgs = jnp.ones((4, 32, 32, 3))
+    labels = jnp.zeros((4,), jnp.int32)
+    state = create_train_state(model, jax.random.PRNGKey(0), imgs)
+    step = make_train_step(model, donate=True)
+    state, loss = step(state, imgs, labels)
+    state, loss = step(state, imgs, labels)
+    assert np.isfinite(float(loss))
+
+
+def test_evaluate_caches_eval_step():
+    from vit_tpu import train as train_mod
+
+    variables = _variables()
+    imgs = jnp.ones((2, 32, 32, 3))
+    labels = jnp.zeros((2,), jnp.int32)
+    train_mod._EVAL_STEP_CACHE.clear()
+    train_mod.evaluate(MODEL, variables, [(imgs, labels)])
+    assert MODEL in train_mod._EVAL_STEP_CACHE
+    first = train_mod._EVAL_STEP_CACHE[MODEL]
+    train_mod.evaluate(MODEL, variables, [(imgs, labels)])
+    assert train_mod._EVAL_STEP_CACHE[MODEL] is first

@@ -73,7 +73,14 @@ def cmd_smoke(args) -> int:
     if unknown:
         print(f"unknown family {unknown[0]!r}; `python -m vit_tpu list`", file=sys.stderr)
         return 2
-    return 0 if all([_smoke_one(n) for n in names]) else 1
+    ok = True
+    for n in names:  # a crashing family reports FAIL and the sweep continues
+        try:
+            ok &= _smoke_one(n)
+        except Exception as e:
+            print(f"{n:20s} FAIL ({type(e).__name__}: {e})")
+            ok = False
+    return 0 if ok else 1
 
 
 def cmd_version(_args) -> int:

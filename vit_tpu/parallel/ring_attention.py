@@ -33,8 +33,6 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-
 
 def _local_pass(q, k_blk, v_blk, scale, precision=None):
     """One ring step's local contribution: unnormalized PV plus the

@@ -56,14 +56,20 @@ def preprocess(
 ) -> jax.Array:
     """uint8/float NHWC -> normalized model input, entirely in-graph.
 
-    Standard eval transform: scale to [0,1], resize so the short side is
-    ``resize_to`` (default: image_size * 256 // 224), center-crop, normalize.
+    Standard eval transform: scale to [0,1], resize so the SHORT side is
+    ``resize_to`` (default: image_size * 256 // 224) — aspect ratio
+    preserved, the torchvision-equivalent recipe — center-crop, normalize.
+    Shapes are static, so the scaled size is plain Python math at trace
+    time; square inputs behave exactly as before.
     """
     img = raw.astype(jnp.float32)
     if raw.dtype == jnp.uint8:
         img = img / 255.0
     resize_to = resize_to or max(image_size, int(image_size * 256 / 224))
-    img = resize_bilinear(img, (resize_to, resize_to))
+    _, h, w, _ = img.shape
+    scale = resize_to / min(h, w)
+    img = resize_bilinear(img, (max(resize_to, round(h * scale)),
+                                max(resize_to, round(w * scale))))
     img = center_crop(img, (image_size, image_size))
     return normalize(img, mean, std, dtype)
 
@@ -96,7 +102,11 @@ class InferencePipeline:
 
         def run(variables, raw):
             x = preprocess(raw, image_size=image_size, dtype=dtype)
-            return apply(variables, x)
+            out = apply(variables, x)
+            # serving returns classification logits; a (logits, distill)
+            # tuple (LeViT's train-time head, models/levit.py) would
+            # otherwise be silently sliced along the tuple axis
+            return out[0] if isinstance(out, tuple) else out
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -117,10 +127,15 @@ class InferencePipeline:
         n = raw_images.shape[0]
         bs = self.batch_size
         pending = []
-        for start in range(0, n, bs):
+        # n == 0 still runs one zero-padded chunk and slices it empty, so
+        # an empty poll returns (0, C) like ExportedServing instead of
+        # crashing np.concatenate downstream
+        for start in range(0, max(n, 1), bs):
             chunk = raw_images[start : start + bs]
             pad = bs - chunk.shape[0]
-            if pad:
+            if chunk.shape[0] == 0:
+                chunk = np.zeros((bs,) + raw_images.shape[1:], raw_images.dtype)
+            elif pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
             logits = self._fn(self.variables, jnp.asarray(chunk))
             pending.append(logits[: bs - pad if pad else bs])

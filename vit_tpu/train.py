@@ -145,6 +145,7 @@ def make_train_step(
     accum_steps: int = 1,
     qat: bool = False,
     moe_aux_weight: float = 0.0,
+    donate: bool = False,
 ) -> Callable:
     """Jitted ``step(state, images, labels) -> (state, loss)``.
 
@@ -193,7 +194,6 @@ def make_train_step(
     """
     optimizer = optimizer or make_optimizer()
 
-    @jax.jit
     def step(state: TrainState, images: jax.Array, labels: jax.Array):
         has_state = bool(jax.tree_util.tree_leaves(state.model_state))
         step_rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
@@ -309,7 +309,15 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1, new_state), loss
 
-    return step
+    # donate=True hands the old state's buffers to XLA (callers overwrite:
+    # `state, loss = step(state, ...)`), halving the transient params +
+    # optimizer-moment footprint at the update. Off by default because a
+    # donated state is unusable afterwards — tests and A/B comparisons
+    # legitimately step the SAME initial state through two step functions.
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+_EVAL_STEP_CACHE: dict = {}
 
 
 def make_eval_step(model) -> Callable:
@@ -334,9 +342,16 @@ def evaluate(model, variables, batches) -> dict:
 
     ``batches`` is any iterable — e.g. ``JpegFolderDataset.epoch(0)``
     (decode of batch k+1 overlaps the device eval of batch k) or a list of
-    in-memory pairs. One compiled step serves every equal-shaped batch.
+    in-memory pairs. One compiled step serves every equal-shaped batch,
+    and the step is cached per model so a per-epoch ``evaluate()`` call in
+    a training loop reuses one executable instead of re-jitting each time.
     """
-    step = make_eval_step(model)
+    try:  # linen modules are frozen dataclasses — hashable unless a field isn't
+        step = _EVAL_STEP_CACHE.get(model)
+        if step is None:
+            step = _EVAL_STEP_CACHE[model] = make_eval_step(model)
+    except TypeError:  # unhashable config field (e.g. injected module list)
+        step = make_eval_step(model)
     n = 0
     loss_sum = 0.0
     acc_sum = 0.0
@@ -356,7 +371,8 @@ def shard_batch(batch: jax.Array, mesh: Mesh) -> jax.Array:
 
 
 def make_shard_map_train_step(
-    model, mesh: Mesh, optimizer=None, *, dropout_seed: int = 0
+    model, mesh: Mesh, optimizer=None, *, dropout_seed: int = 0,
+    donate: bool = False,
 ) -> Callable:
     """Data-parallel train step that keeps the Pallas kernels ON.
 
@@ -423,4 +439,5 @@ def make_shard_map_train_step(
         out_specs=(rep, rep),
         check_vma=False,
     )
-    return jax.jit(step)
+    # see make_train_step on donate
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -77,7 +77,10 @@ def export_serving(
 
     def run(raw):
         x = preprocess(raw, image_size=image_size, dtype=dtype)
-        return apply(variables, x)
+        out = apply(variables, x)
+        # serving artifact returns classification logits; LeViT's optional
+        # (logits, distill) tuple is a train-time shape
+        return out[0] if isinstance(out, tuple) else out
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as z:
@@ -99,8 +102,12 @@ class ExportedServing:
     """
 
     def __init__(self, blob: bytes):
-        z = zipfile.ZipFile(io.BytesIO(blob))
-        if z.read("MAGIC").decode() != _MAGIC:
+        try:
+            z = zipfile.ZipFile(io.BytesIO(blob))
+            magic = z.read("MAGIC").decode()
+        except (zipfile.BadZipFile, KeyError) as e:
+            raise ValueError("not a vit_tpu AOT serving artifact") from e
+        if magic != _MAGIC:
             raise ValueError("not a vit_tpu AOT serving artifact")
         self.buckets = [int(s) for s in z.read("buckets").decode().split(",")]
         self._programs: Dict[int, Callable] = {

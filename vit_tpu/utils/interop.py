@@ -136,7 +136,9 @@ def import_hf_vit_params(state_dict: Dict[str, Any], depth: int,
             "bias": sd.get("classifier.bias", np.zeros(sd["classifier.weight"].shape[0], np.float32)),
         }
     else:  # bare ViTModel: no head in the checkpoint — zero-init one
-        width = 0 if num_classes is None else num_classes
+        # default matches hf_vit_config's num_classes for a default HF
+        # config (num_labels=2), so the tree fits the model it documents
+        width = 2 if num_classes is None else num_classes
         params["head"] = {
             "kernel": np.zeros((dim, width), np.float32),
             "bias": np.zeros((width,), np.float32),
