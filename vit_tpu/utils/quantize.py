@@ -81,15 +81,16 @@ def quantize_vit(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params, "quant": quant}
 
 
-# Measured mode selection (PERFORMANCE.md int8 table, real v5e chip,
-# ViT-L/16 @224): the fused-kernel encoder wins big once the batch grid
-# amortizes its VMEM weight residency (batch 128: 1694 img/s vs 1215 XLA
-# w8a8), the XLA int8 path wins the mid-batch regime (batch 8: 905 vs 831),
-# and at batch 1 all modes converge to the weight-HBM bound (~232-238) where
-# weight-only `w8` carries ~half the logit error for the same speed. The
-# kernel/XLA crossover is bounded in (8, 128); until the finer sweep
-# (scripts/bench_quant.py sweep) pins it, 32 is the conservative cut.
-W8A8_KERNEL_MIN_BATCH = 32
+# Measured mode selection (PERFORMANCE.md int8 table + batch sweep, real
+# v5e chip, ViT-L/16 @224): the fused-kernel encoder wins from batch 16 up
+# in every sweep sample (16: 1230 vs 1188 XLA w8a8; 64: 1636 vs 1301;
+# 128: 1694 vs 1215 — measurements/r3/quant_sweep.log), batch 8 is
+# ambiguous across runs (973 vs 890 in the sweep, 831 vs 905 in the
+# headline-table run) so the XLA path keeps the mid-batch regime as the
+# conservative choice, and at batch 1 all modes converge to the
+# weight-HBM bound (~232-238 img/s) where weight-only `w8` carries ~half
+# the logit error for the same speed.
+W8A8_KERNEL_MIN_BATCH = 16
 
 
 def resolve_quant_mode(batch: int) -> str:
