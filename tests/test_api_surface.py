@@ -120,3 +120,35 @@ def test_efficient_shell_injects_any_encoder():
         img,
     )
     assert out.shape == (2, 1000)
+
+
+# --- reference-scale presets (models/presets.py = docs/MODELS.md as code) ---
+
+def test_presets_cover_all_registry_families():
+    from vit_tpu.models import MODEL_REGISTRY, REFERENCE_PRESETS
+
+    assert set(REFERENCE_PRESETS) == set(MODEL_REGISTRY)
+
+
+@pytest.mark.parametrize("name", sorted(M.REFERENCE_PRESETS))
+def test_preset_constructs_and_traces(name):
+    """Every preset builds its documented reference-scale model and the
+    abstract forward yields (1, num_classes) — eval_shape only, no FLOPs."""
+    model, size = M.create(name)
+    img = jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32)
+
+    def init_and_apply(img):
+        variables = model.init({"params": jax.random.PRNGKey(0)}, img)
+        return model.apply(variables, img)
+
+    out = jax.eval_shape(init_and_apply, img)
+    if isinstance(out, tuple):  # LeViT optional distill head
+        out = out[0]
+    assert out.shape == (1, 1000), (name, out.shape)
+
+
+def test_preset_create_overrides():
+    model, size = M.create("vit", num_classes=10, depth=2)
+    assert model.num_classes == 10 and model.depth == 2 and size == 256
+    with pytest.raises(KeyError):
+        M.create("nope")

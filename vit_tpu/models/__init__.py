@@ -172,3 +172,10 @@ MODEL_REGISTRY = {
         64,
     ),
 }
+
+
+# Reference-scale presets live in a submodule (imported last: presets pulls
+# the constructors from this package, which is fully defined by here).
+from vit_tpu.models.presets import REFERENCE_PRESETS, create  # noqa: E402
+
+__all__ += ["REFERENCE_PRESETS", "create"]
