@@ -67,3 +67,9 @@ def test_cli_main_in_process():
     from vit_tpu.__main__ import main
 
     assert main(["list"]) == 0
+
+
+def test_cli_list_presets():
+    from vit_tpu.__main__ import main
+
+    assert main(["list", "--presets"]) == 0

@@ -27,7 +27,21 @@ def _param_count(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "size"))
 
 
-def cmd_list(_args) -> int:
+def cmd_list(args) -> int:
+    if getattr(args, "presets", False):
+        from vit_tpu.models import REFERENCE_PRESETS
+
+        for name in sorted(REFERENCE_PRESETS):
+            ctor, cfg, image_size = REFERENCE_PRESETS[name]
+            kwargs = ", ".join(
+                f"{k}={v!r}" for k, v in cfg.items() if not hasattr(v, "__module__")
+            )
+            print(f"{name:20s} {ctor.__name__}({kwargs})  # img {image_size}")
+        print(
+            "\nReference-scale constructors (docs/MODELS.md); build one with "
+            "vit_tpu.models.create(name, **overrides)."
+        )
+        return 0
     from vit_tpu.models import MODEL_REGISTRY
 
     for name in sorted(MODEL_REGISTRY):
@@ -38,7 +52,7 @@ def cmd_list(_args) -> int:
         print(f"{name:20s} {cls.__name__}({kwargs})  # img {image_size}")
     print(
         "\nThese are the smoke-test shapes; reference-scale constructors for "
-        "every family are in docs/MODELS.md."
+        "every family: `python -m vit_tpu list --presets` or docs/MODELS.md."
     )
     return 0
 
@@ -107,9 +121,10 @@ def main(argv=None) -> int:
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     sub = parser.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("list", help="model families and smoke configs").set_defaults(
-        fn=cmd_list
-    )
+    p = sub.add_parser("list", help="model families and smoke configs")
+    p.add_argument("--presets", action="store_true",
+                   help="reference-scale constructors instead of smoke shapes")
+    p.set_defaults(fn=cmd_list)
     p = sub.add_parser("smoke", help="init + jit forward a family (or 'all')")
     p.add_argument("family")
     p.set_defaults(fn=cmd_smoke)
