@@ -112,3 +112,17 @@ def test_pending_batch_resolves_without_followup_traffic():
                         max_batch=2, max_wait_ms=10) as srv:
         f = srv.submit(_jpeg(7))
         assert np.isfinite(f.result(timeout=60)).all()
+
+
+def test_close_joins_when_final_batch_fully_fails_decode():
+    """A corrupt-only batch flushed by the shutdown sentinel must still end
+    the batcher thread: the sentinel is consumed as the flush trigger, so
+    the loop has to notice `closed` instead of blocking on an empty queue."""
+    pipe = _pipeline()
+    srv = BatchingServer(pipe, decoder=JpegDecoder(size=40), max_batch=4,
+                         max_wait_ms=500)
+    f = srv.submit(b"definitely not a jpeg")
+    srv.close(timeout=3)
+    assert not srv._thread.is_alive()
+    with pytest.raises(Exception):
+        f.result(timeout=1)

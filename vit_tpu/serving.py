@@ -204,6 +204,12 @@ class BatchingServer:
             self._resolve(pending)  # device time fully overlapped by now
             pending = None
             if raw is None:
+                # the shutdown sentinel may have been the flush that closed
+                # this (fully-failed) batch — without this check the loop
+                # would block forever in the next _collect and close() would
+                # never join the thread
+                if self._closed and self._q.empty():
+                    return
                 continue
             try:
                 if dispatch is not None:
