@@ -27,15 +27,23 @@ def _param_count(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "size"))
 
 
+def _kwarg_repr(v) -> str:
+    """repr for a constructor listing: primitives verbatim; class instances
+    (e.g. the injected Transformer in the `efficient` preset) as a
+    placeholder naming the type — never silently dropped, so the printed
+    constructor is honest about every required argument."""
+    if hasattr(v, "__module__") and not isinstance(v, (int, float, str, tuple, list, bool)):
+        return f"<{type(v).__name__}(...)>"
+    return repr(v)
+
+
 def cmd_list(args) -> int:
     if getattr(args, "presets", False):
         from vit_tpu.models import REFERENCE_PRESETS
 
         for name in sorted(REFERENCE_PRESETS):
             ctor, cfg, image_size = REFERENCE_PRESETS[name]
-            kwargs = ", ".join(
-                f"{k}={v!r}" for k, v in cfg.items() if not hasattr(v, "__module__")
-            )
+            kwargs = ", ".join(f"{k}={_kwarg_repr(v)}" for k, v in cfg.items())
             print(f"{name:20s} {ctor.__name__}({kwargs})  # img {image_size}")
         print(
             "\nReference-scale constructors (docs/MODELS.md); build one with "
@@ -46,9 +54,7 @@ def cmd_list(args) -> int:
 
     for name in sorted(MODEL_REGISTRY):
         cls, cfg, image_size = MODEL_REGISTRY[name]
-        kwargs = ", ".join(
-            f"{k}={v!r}" for k, v in cfg.items() if not hasattr(v, "__module__")
-        )
+        kwargs = ", ".join(f"{k}={_kwarg_repr(v)}" for k, v in cfg.items())
         print(f"{name:20s} {cls.__name__}({kwargs})  # img {image_size}")
     print(
         "\nThese are the smoke-test shapes; reference-scale constructors for "

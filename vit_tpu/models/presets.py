@@ -88,10 +88,11 @@ REFERENCE_PRESETS: Dict[str, Tuple[Callable[..., Any], Dict[str, Any], int]] = {
         cross_attn_depth=2, cross_attn_heads=8,
         dropout=0.1, emb_dropout=0.1,
     ), 256),
-    # reference README.md:226 (CvT block; s3_heads per the README example)
+    # reference README.md:226 (CvT block; s3_heads=4 per the README example —
+    # the reference file default is 6, cvt.py:161, a documented quirk)
     "cvt": (CvT, dict(
         num_classes=1000, s1_emb_dim=64, s2_emb_dim=192, s3_emb_dim=384,
-        s1_depth=1, s2_depth=2, s3_depth=10, s3_heads=6,
+        s1_depth=1, s2_depth=2, s3_depth=10, s3_heads=4,
     ), 224),
     "levit": (LeViT, dict(
         image_size=224, num_classes=1000, stages=3,
@@ -128,7 +129,7 @@ REFERENCE_PRESETS: Dict[str, Tuple[Callable[..., Any], Dict[str, Any], int]] = {
         num_classes=1000, dim=64,
         heads=(2, 4, 8, 16), depth=(2, 2, 20, 2),
         ssa_dim_key=(40, 40, 40, 32), reduction_factor=(8, 4, 2, 1),
-        window_size=(64, 32, None, None),
+        window_size=(64, 32, None, None), dropout=0.1,
     ), 256),
     "region_vit": (RegionViT, dict(
         dim=(64, 128, 256, 512), depth=(2, 2, 8, 2),
