@@ -1,0 +1,213 @@
+"""Round-4 convergence demo on a task the stack CANNOT memorize its way out
+of (VERDICT r3 item 6), plus trained-model int8 accuracy (item 4 companion).
+
+Task — procedural oriented-texture classification:
+  label c in 0..9 sets the ORIENTATION of a sinusoidal grating (theta =
+  c * pi / 10, fixed frequency). Everything else is nuisance drawn fresh
+  per image: random phase (translation invariance), amplitude, a random
+  low-frequency color field, per-channel tint, and heavy pixel noise.
+  The TRAIN SET IS FIXED (N_TRAIN images) so an unregularized run can
+  memorize it; val images are freshly sampled — generalizing requires
+  learning orientation, not instances.
+
+Two runs, identical budget (same model/schedule/steps):
+  base  — no regularizers (the r3-era recipe)
+  reg   — mixup/cutmix + label smoothing 0.1 + random-crop jitter + EMA eval
+The deliverable is the two-row table (train top-1, val top-1, gap) showing
+the regularizer stack measurably lifting val accuracy, and the int8 block:
+val top-1 of the TRAINED model under w8 / w8a8 / w8a8_kernel plus top-1
+agreement vs its bf16 forward — trained-weight evidence the random-init
+ViT-L study (scripts/int8_accuracy_r4.py) cannot give.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/convergence_r4.py
+CPU smoke: CONV_TINY=1 (2 classes, few steps, no assertions).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TINY = bool(os.environ.get("CONV_TINY"))
+N_CLASSES = 10
+IMG = 64
+N_TRAIN = 256 if TINY else 4096
+N_VAL = 64 if TINY else 1024
+STEPS = 6 if TINY else 1500
+BATCH = 32 if TINY else 128
+NOISE = 0.8
+
+
+def make_images(key: jax.Array, labels: jax.Array) -> jax.Array:
+    """Batch of procedural grating scenes; every nuisance fresh per image."""
+    n = labels.shape[0]
+    ks = jax.random.split(key, 6)
+    yy, xx = jnp.mgrid[0:IMG, 0:IMG].astype(jnp.float32) / IMG
+    theta = labels.astype(jnp.float32) * (jnp.pi / N_CLASSES)  # class signal
+    freq = 6.0
+    phase = jax.random.uniform(ks[0], (n, 1, 1), maxval=2 * jnp.pi)
+    amp = jax.random.uniform(ks[1], (n, 1, 1), minval=0.6, maxval=1.4)
+    grating = amp * jnp.sin(
+        2 * jnp.pi * freq
+        * (jnp.cos(theta)[:, None, None] * xx + jnp.sin(theta)[:, None, None] * yy)
+        + phase
+    )
+    # low-frequency nuisance field (per channel)
+    bg_f = jax.random.uniform(ks[2], (n, 1, 1, 3), minval=0.5, maxval=2.0)
+    bg_p = jax.random.uniform(ks[3], (n, 1, 1, 3), maxval=2 * jnp.pi)
+    bg = 0.8 * jnp.sin(2 * jnp.pi * bg_f * (xx + yy)[None, :, :, None] + bg_p)
+    tint = jax.random.uniform(ks[4], (n, 1, 1, 3), minval=0.5, maxval=1.5)
+    img = grating[..., None] * tint + bg
+    img = img + NOISE * jax.random.normal(ks[5], (n, IMG, IMG, 3))
+    return img.astype(jnp.float32)
+
+
+def fixed_datasets():
+    kt, kv = jax.random.PRNGKey(11), jax.random.PRNGKey(22)
+    train_labels = jax.random.randint(kt, (N_TRAIN,), 0, N_CLASSES)
+    train_imgs = make_images(jax.random.fold_in(kt, 1), train_labels)
+    val_labels = jax.random.randint(kv, (N_VAL,), 0, N_CLASSES)
+    val_imgs = make_images(jax.random.fold_in(kv, 1), val_labels)
+    return (np.asarray(train_imgs), np.asarray(train_labels),
+            np.asarray(val_imgs), np.asarray(val_labels))
+
+
+def eval_top1(eval_step, params, imgs, labels) -> float:
+    accs, n = [], len(imgs)
+    for i in range(0, n, 256):
+        _, a = eval_step({"params": params},
+                         jnp.asarray(imgs[i:i + 256]), jnp.asarray(labels[i:i + 256]))
+        accs.append(float(a) * len(imgs[i:i + 256]))
+    return sum(accs) / n
+
+
+def run(regularized: bool, data, model):
+    from vit_tpu.augment import Ema, mixup_or_cutmix, one_hot, random_crop
+    from vit_tpu.train import (
+        create_train_state, make_eval_step, make_optimizer, make_train_step,
+        warmup_cosine_schedule,
+    )
+
+    train_imgs, train_labels, val_imgs, val_labels = data
+    tx = make_optimizer(
+        warmup_cosine_schedule(3e-4, total_steps=STEPS, warmup_steps=STEPS // 20),
+        grad_clip_norm=1.0,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(1),
+        jnp.zeros((1, IMG, IMG, 3), jnp.bfloat16), optimizer=tx,
+    )
+
+    augment_fn = None
+    if regularized:
+        def augment_fn(rng, imgs, lbls):
+            k1, k2 = jax.random.split(rng)
+            imgs = random_crop(k1, imgs, padding=6)
+            targets = one_hot(lbls, N_CLASSES, smoothing=0.1)
+            return mixup_or_cutmix(k2, imgs, targets, mixup_alpha=0.2)
+
+    step = make_train_step(model, optimizer=tx, augment_fn=augment_fn,
+                           remat=False)
+    eval_step = make_eval_step(model)
+    ema = Ema.init(state.params, decay=0.999) if regularized else None
+    ema_update = jax.jit(lambda e, p: e.update(p)) if regularized else None
+
+    rng = np.random.default_rng(3)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        idx = rng.integers(0, N_TRAIN, BATCH)
+        state, loss = step(state, jnp.asarray(train_imgs[idx]),
+                           jnp.asarray(train_labels[idx]))
+        if regularized:
+            ema = ema_update(ema, state.params)
+        if not TINY and (i + 1) % 300 == 0:
+            v = eval_top1(eval_step, state.params, val_imgs, val_labels)
+            print(f"  step {i + 1}: train_loss {float(loss):.3f} val_top1 {v:.3f}",
+                  flush=True)
+    dt = time.perf_counter() - t0
+
+    train_top1 = eval_top1(eval_step, state.params, train_imgs, train_labels)
+    val_top1 = eval_top1(eval_step, state.params, val_imgs, val_labels)
+    row = {"train_top1": round(train_top1, 4), "val_top1": round(val_top1, 4),
+           "gap": round(train_top1 - val_top1, 4), "seconds": round(dt, 1)}
+    if regularized:
+        ema_val = eval_top1(eval_step, ema.params, val_imgs, val_labels)
+        row["ema_val_top1"] = round(ema_val, 4)
+        row["val_top1_best"] = round(max(val_top1, ema_val), 4)
+    return row, state
+
+
+def int8_on_trained(model, state, data):
+    """Trained-model int8 evidence: val top-1 per mode + agreement vs bf16."""
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    _, _, val_imgs, val_labels = data
+    variables = {"params": jax.device_get(state.params)}
+    qvars = quantize_vit(variables)
+    bf16_fn = jax.jit(lambda v, im: model.apply(v, im.astype(jnp.bfloat16)))
+
+    def batched(fn, vars_):
+        outs = []
+        for i in range(0, len(val_imgs), 256):
+            outs.append(np.asarray(fn(vars_, jnp.asarray(val_imgs[i:i + 256]))))
+        return np.concatenate(outs, 0)
+
+    golden = batched(bf16_fn, variables)
+    g_pred = golden.argmax(-1)
+    out = {"bf16_val_top1": round(float(np.mean(g_pred == val_labels)), 4)}
+    modes = ("w8", "w8a8") if TINY else ("w8", "w8a8", "w8a8_kernel")
+    for mode in modes:
+        fn = jax.jit(lambda v, im, m=mode: vit_apply_w8a8(
+            model, v, im.astype(jnp.bfloat16), mode=m))
+        logits = batched(fn, qvars)
+        pred = logits.argmax(-1)
+        out[mode] = {
+            "val_top1": round(float(np.mean(pred == val_labels)), 4),
+            "top1_agree_vs_bf16": round(float(np.mean(pred == g_pred)), 4),
+            "mean_abs_dlogit": round(float(np.mean(np.abs(logits - golden))), 4),
+        }
+    return out
+
+
+def main():
+    sys.path.insert(0, "/root/repo/scripts")
+    from r3util import probe_ms
+
+    from vit_tpu.models import ViT
+    from vit_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"# probe {probe_ms():.1f} ms  task: {N_CLASSES}-way orientation, "
+          f"train={N_TRAIN} fixed, val={N_VAL} fresh, noise={NOISE}, "
+          f"steps={STEPS}", flush=True)
+    model = ViT(image_size=IMG, patch_size=8, num_classes=N_CLASSES, dim=256,
+                depth=6, heads=4, mlp_dim=512, dim_head=64, dtype=jnp.bfloat16)
+    data = fixed_datasets()
+
+    print("base (no regularizers):", flush=True)
+    base, _ = run(False, data, model)
+    print(f"  -> {base}", flush=True)
+    print("reg (mixup/cutmix + smoothing 0.1 + crop + EMA):", flush=True)
+    reg, reg_state = run(True, data, model)
+    print(f"  -> {reg}", flush=True)
+
+    int8 = int8_on_trained(model, reg_state, data)
+    print(f"int8 on the trained model: {int8}", flush=True)
+
+    if not TINY:
+        assert reg["val_top1_best"] > base["val_top1"] + 0.01, (
+            "regularizer stack did not measurably improve val top-1: "
+            f"{reg} vs {base}"
+        )
+    print(json.dumps({"base": base, "reg": reg, "int8_trained": int8}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
