@@ -35,5 +35,5 @@ run int8_acc     python scripts/int8_accuracy_r4.py
 run zoo_tail_ab  python scripts/tune_zoo_tail_r4b.py
 run serve_load   python scripts/serve_load_r4.py
 run convergence  python scripts/convergence_r4.py
-run zoo          python scripts/bench_zoo.py --families vit,simple_vit,deepvit
+run zoo          python scripts/bench_zoo.py vit simple_vit deepvit t2t vit_small_datasets twins_svt region_vit crossformer
 echo "all done $(date +%H:%M:%S)"

@@ -594,3 +594,131 @@ class TestTalkingHeadsBlock:
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4
             )
+
+
+class TestAttentionBlockDispatch:
+    """The auto rule dispatches on the width the kernel would PROCESS:
+    a pre-padded stream (true_n set, whole-encoder padding) hands the
+    kernel an aligned width with no pad copies, so the README-scale
+    65-token stack (padded to 80) takes the kernel — measured +6.4%
+    whole-model (scripts/tune_zoo_tail_r4.py, round 4)."""
+
+    def _spy(self, monkeypatch):
+        import vit_tpu.ops as ops_mod
+
+        calls = []
+        zero = lambda *a, **k: calls.append("kernel") or jnp.zeros(())
+        zero_x = lambda *a, **k: calls.append("xla") or jnp.zeros(())
+        monkeypatch.setattr(ops_mod, "fused_attention_block", zero)
+        monkeypatch.setattr(ops_mod, "xla_attention_block", zero_x)
+        # auto mode resolves to pallas only on TPU; fake the backend so the
+        # rule itself is what's under test
+        monkeypatch.setattr(ops_mod.jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("VIT_TPU_BACKEND", raising=False)
+        return ops_mod, calls
+
+    def _args(self, n, dim=64, heads=4, d=16):
+        x = rand(0, (2, n, dim))
+        return (x, rand(1, (dim,)), rand(2, (dim,)),
+                rand(3, (dim, 3 * heads * d)), rand(4, (heads * d, dim)),
+                rand(5, (dim,)), heads)
+
+    def test_padded_stream_takes_kernel(self, monkeypatch):
+        ops_mod, calls = self._spy(monkeypatch)
+        ops_mod.attention_block(*self._args(80), true_n=65)
+        assert calls == ["kernel"]
+
+    def test_unpadded_unaligned_mid_bucket_stays_xla(self, monkeypatch):
+        ops_mod, calls = self._spy(monkeypatch)
+        ops_mod.attention_block(*self._args(65))
+        assert calls == ["xla"]
+
+    def test_small_padded_width_stays_xla(self, monkeypatch):
+        # aligned but below the measured kernel floor (n=48 < 64)
+        ops_mod, calls = self._spy(monkeypatch)
+        ops_mod.attention_block(*self._args(48), true_n=40)
+        assert calls == ["xla"]
+
+
+class TestPackedAttentionBlock:
+    """Sample-packed streams (Transformer.auto_pad pack-2): k samples per
+    batch row at stride ``block_tokens``, block-diagonal attention mask.
+    Real-token outputs must match the per-sample unpacked computation in
+    BOTH backends (round 4; measurements/r4/zoo_scan_r4.log)."""
+
+    def _setup(self, b=4, n=13, stride=16, dim=32, heads=2, d=16):
+        from vit_tpu.ops.block_attention import xla_attention_block
+
+        x = rand(0, (b, n, dim))
+        ln_s, ln_b = rand(1, (dim,)) * 0.1 + 1.0, rand(2, (dim,)) * 0.1
+        wqkv = rand(3, (dim, 3 * heads * d)) * 0.1
+        wout = rand(4, (heads * d, dim)) * 0.1
+        bout = rand(5, (dim,)) * 0.1
+        scale = d**-0.5
+        # unpacked golden: each sample computed solo, no padding at all
+        gold = xla_attention_block(x, ln_s, ln_b, wqkv, wout, bout, heads, scale)
+        # packed layout: pad each sample to `stride`, two per row
+        xp = jnp.pad(x, ((0, 0), (0, stride - n), (0, 0)))
+        xp = xp.reshape(b // 2, 2 * stride, dim)
+        args = (xp, ln_s, ln_b, wqkv, wout, bout, heads)
+        return args, dict(scale=scale, true_n=n), gold, (b, stride, n, dim)
+
+    def _unpack(self, out, shape):
+        b, stride, n, dim = shape
+        return out.reshape(b, stride, dim)[:, :n]
+
+    def test_xla_backend_matches_unpacked(self):
+        from vit_tpu.ops.block_attention import xla_attention_block
+
+        args, kw, gold, shape = self._setup()
+        out = xla_attention_block(
+            *args, kw["scale"], 1e-6, kw["true_n"], 16
+        )
+        np.testing.assert_allclose(
+            self._unpack(out, shape), gold, atol=1e-5, rtol=1e-5
+        )
+
+    def test_kernel_matches_unpacked(self):
+        from vit_tpu.ops.block_attention import fused_attention_block
+
+        args, kw, gold, shape = self._setup()
+        out = fused_attention_block(
+            *args, scale=kw["scale"], true_n=kw["true_n"], block_tokens=16,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            self._unpack(out, shape), gold, atol=1e-5, rtol=1e-5
+        )
+
+    def test_transformer_auto_pack_parity(self):
+        """f32, n=17 (pad-8 would cost 24 rows; packed stride 20): the stack
+        must auto-pack and produce the same real-row outputs as the
+        unpadded straight-line computation."""
+        from vit_tpu.nn.blocks import Transformer
+
+        b, n, dim = 4, 17, 32
+        x = rand(0, (b, n, dim))
+        mk = lambda auto_pad: Transformer(
+            dim=dim, depth=5, heads=2, dim_head=16, mlp_dim=64,
+            auto_pad=auto_pad,
+        )
+        v = mk(True).init({"params": jax.random.PRNGKey(1)}, x)
+        packed = mk(True).apply(v, x)
+        plain = mk(False).apply(v, x)
+        assert packed.shape == (b, n, dim)
+        np.testing.assert_allclose(packed, plain, atol=1e-5, rtol=1e-5)
+
+    def test_transformer_training_mode_skips_pack(self):
+        """Stochastic passes keep the per-sample padded layout (per-sample
+        gates must not see packed pairs); shapes and finiteness only."""
+        from vit_tpu.nn.blocks import Transformer
+
+        b, n, dim = 4, 17, 32
+        x = rand(0, (b, n, dim))
+        t = Transformer(dim=dim, depth=2, heads=2, dim_head=16, mlp_dim=64,
+                        dropout=0.1)
+        v = t.init({"params": jax.random.PRNGKey(1)}, x)
+        out = t.apply(v, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+        assert out.shape == (b, n, dim)
+        assert bool(jnp.isfinite(out).all())

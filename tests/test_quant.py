@@ -645,10 +645,11 @@ def test_auto_mode_resolution_and_equivalence():
         vit_apply_w8a8,
     )
 
-    # The measured regimes: weight-HBM-bound batch 1 -> w8; mid-batch ->
-    # XLA int8; kernel from the crossover up.
+    # The measured regimes: weight-HBM-bound batch 1 -> w8; small mid-batch
+    # (2..7) -> XLA int8; kernel from the crossover up (batch 8 re-pinned
+    # round 4 from 5-run confidence intervals, measurements/r4).
     assert resolve_quant_mode(1) == "w8"
-    assert resolve_quant_mode(8) == "w8a8"
+    assert resolve_quant_mode(4) == "w8a8"
     assert resolve_quant_mode(W8A8_KERNEL_MIN_BATCH) == "w8a8_kernel"
     assert resolve_quant_mode(128) == "w8a8_kernel"
 
@@ -745,3 +746,34 @@ def test_quantized_forward_tuple_patch_size():
         jax.jit(lambda v, x: quantize_vit_mod.vit_apply_w8a8(model, v, x))(qvars, img)
     )
     assert out.shape == (2, 10) and np.isfinite(out).all()
+
+
+def test_statistical_agreement_floor():
+    """Statistical floor on int8 accuracy, CPU-sized companion of the
+    1,024-input ViT-L study (measurements/r4/int8_acc_r4.log: w8 97.1%,
+    w8a8 95.8%, w8a8_kernel 95.7% top-1 agreement): over 64 varied inputs
+    the quantized forwards must agree with bf16/fp32 top-1 on nearly every
+    sample and keep mean|dlogit| well under the logit scale. Fixed seeds —
+    deterministic on CPU (measured on this seed: w8 1.00 / w8a8 0.984
+    agreement, mean|d| 0.010 / 0.016 on logit std 0.99)."""
+    from vit_tpu.models import ViT
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    model = ViT(image_size=32, patch_size=8, num_classes=50, dim=64,
+                depth=4, heads=4, mlp_dim=128, dim_head=16)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 32, 32, 3))
+    )
+    qvars = quantize_vit(variables)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (64, 32, 32, 3)).astype(np.float32))
+    gold = np.asarray(jax.jit(model.apply)(variables, x))
+    for mode, agree_floor in (("w8", 0.97), ("w8a8", 0.93)):
+        out = np.asarray(
+            jax.jit(lambda q, x, m=mode: vit_apply_w8a8(model, q, x, mode=m))(
+                qvars, x
+            )
+        )
+        agree = float(np.mean(out.argmax(-1) == gold.argmax(-1)))
+        assert agree >= agree_floor, (mode, agree)
+        assert float(np.abs(out - gold).mean()) < 0.05 * float(gold.std()), mode

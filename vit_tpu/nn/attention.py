@@ -109,6 +109,11 @@ class Attention(nn.Module):
     # pad/slice the full stream every layer). Padded key columns are masked
     # out of the softmax; padded rows carry don't-care values end to end.
     true_tokens: Optional[int] = None
+    # Per-sample stride of a sample-packed stream (Transformer.auto_pad's
+    # pack-2 mode): each batch row carries n // block_tokens samples, each
+    # padded to block_tokens rows with true_tokens real tokens. Attention
+    # is masked block-diagonally in both backends.
+    block_tokens: Optional[int] = None
     # The reference's PreNorm normalizes only the queries; cross-attention
     # context stays raw (cait.py:96-99, cross_vit.py's PreNorm). Set True
     # for the upstream-lucidrains behavior of norming the context too.
@@ -272,12 +277,20 @@ class Attention(nn.Module):
                     scale=scale,
                     ln_eps=self.norm_eps,
                     true_n=self.true_tokens,
+                    block_tokens=self.block_tokens,
                 )
 
             # Paths below don't mask padded key columns — work on the real
             # tokens and re-pad the delta (padded rows pass through via the
             # residual; without fuse_residual they become zeros).
             pad_rows = 0
+            packed_batch = None
+            if self.block_tokens is not None and self.block_tokens != x.shape[1]:
+                # Sample-packed stream: unpack to one sample per batch row
+                # so the unmasked paths below see a plain prefix-padded
+                # stream; re-packed before the residual add.
+                packed_batch = x.shape[0]
+                x = x.reshape(-1, self.block_tokens, x.shape[2])
             if self.true_tokens is not None and self.true_tokens != x.shape[1]:
                 pad_rows = x.shape[1] - self.true_tokens
                 x = x[:, : self.true_tokens]
@@ -312,6 +325,8 @@ class Attention(nn.Module):
                 out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
             if pad_rows:
                 out = jnp.pad(out, ((0, 0), (0, pad_rows), (0, 0)))
+            if packed_batch is not None:
+                out = out.reshape(packed_batch, -1, out.shape[-1])
             return out + residual if self.fuse_residual else out
 
         # cross-attention / post-norm / qkv-bias configurations

@@ -161,16 +161,27 @@ def _remat_ctx():
 
 
 def scan_unroll_for(depth: int) -> int:
-    """Unroll policy for scanned encoder stacks: full unroll at depth <= 8
-    (straight-line HLO, static param slices, cross-layer fusion — ~10%
-    faster at small-model shapes), loop beyond (O(1)-in-depth compile).
-    ``VIT_TPU_SCAN_UNROLL`` overrides."""
+    """Unroll policy for scanned encoder stacks: keep the scan LOOP
+    (unroll=1) from depth 5 up, full unroll only for very short stacks.
+
+    Measured on the real chip at the reference-README scale (depth 6,
+    B=128, dim 1024, 65->80 padded tokens — the zoo's vit/simple_vit/
+    deepvit configs), the loop beats straight-line HLO in BOTH dispatch
+    modes: block-kernel 10982 vs 9610 img/s, XLA 9985 vs 9776
+    (measurements/r4/tune_zoo_tail_r4b.log). One compiled block re-entered
+    per layer keeps its VMEM working set and pipeline state hot, where the
+    unrolled program re-stages each layer's weights cold; the same held at
+    ViT-L/24 across unroll 1/4/8/24 (measurements/r4/tune_unroll_r4.log).
+    Depth <= 4 (PiT/CrossViT stages, hierarchical stage stubs) stays
+    unrolled: loop-carry setup isn't amortized over 2-4 iterations and
+    those configs measured healthy as straight-line. ``VIT_TPU_SCAN_UNROLL``
+    overrides."""
     import os
 
     env = os.environ.get("VIT_TPU_SCAN_UNROLL")
     if env is not None:
         return max(1, min(int(env), depth))
-    return depth if depth <= 8 else 1
+    return depth if depth <= 4 else 1
 
 
 class EncoderBlock(nn.Module):
@@ -189,6 +200,7 @@ class EncoderBlock(nn.Module):
     qkv_bias: bool = False
     activation: str = "gelu"
     true_tokens: Optional[int] = None  # padded-stream mode (see Attention)
+    block_tokens: Optional[int] = None  # sample-packed stride (see Attention)
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
@@ -204,6 +216,7 @@ class EncoderBlock(nn.Module):
             learned_temperature=self.learned_temperature,
             qkv_bias=self.qkv_bias,
             true_tokens=self.true_tokens,
+            block_tokens=self.block_tokens,
             fuse_residual=True,  # residual add fuses into the block kernel
             norm_eps=self.norm_eps,
             dtype=self.dtype,
@@ -232,13 +245,10 @@ class Transformer(nn.Module):
     compiles ONE block — compile time is O(1) in depth instead of O(depth),
     which matters at ViT-L/24 and ScalableViT's 20-deep stage.
 
-    ``scan_unroll`` (default: full unroll at depth <= 8) keeps the stacked
-    parameter layout (checkpoint/importer-compatible) while emitting
-    straight-line HLO — the scan loop costs ~10% at small-model shapes
-    (measured: 6-deep dim-1024 64-token stack, 25.4ms unrolled vs 28.1ms
-    looped), where XLA's cross-layer fusion and static param slices beat the
-    loop's dynamic slicing. Deep stacks keep the loop (O(1) compile).
-    ``VIT_TPU_SCAN_UNROLL`` overrides.
+    ``scan_unroll`` (default: the scan loop from depth 5 up, full unroll
+    below — see ``scan_unroll_for`` for the on-chip measurements behind
+    the flip) keeps the stacked parameter layout (checkpoint/importer-
+    compatible) either way. ``VIT_TPU_SCAN_UNROLL`` overrides.
     """
 
     dim: int
@@ -286,7 +296,9 @@ class Transformer(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         true_tokens = self.true_tokens
+        block_tokens = None
         slice_back = None
+        unpack = None
         if (
             self.auto_pad
             and true_tokens is None
@@ -298,10 +310,39 @@ class Transformer(nn.Module):
             # the qkv-bias (flax) attention path doesn't mask padded keys
             and not self.qkv_bias
         ):
-            n = x.shape[1]
+            b, n = x.shape[0], x.shape[1]
             sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
             n_pad = -(-n // sublanes) * sublanes
-            if n_pad != n:
+            # Pack-2 (round 4): two samples per batch row, each padded to a
+            # HALF-sublane stride, when that beats padding each to a full
+            # tile (attention is masked block-diagonally in both backends;
+            # numerics exact vs the solo computation, err 0.0e0 on-chip —
+            # measurements/r4/pack2_tpu.log). Gated to widths whose PACKED
+            # score tile stays within one 128-lane Mosaic tile: at the
+            # README-scale n=65 (stride 72, 144 packed) the score tile
+            # lane-pads 144->256 where solo pads 80->128, and the inflated
+            # softmax/score phase measured a 28% whole-model LOSS
+            # (16.26 vs 11.72 ms/batch) despite the 10% GEMM-row saving —
+            # so packing only engages when 2*stride <= 128. Deterministic
+            # passes only: row-wise dropout on packed rows is fine, but
+            # stochastic-depth/per-sample gates see sample PAIRS.
+            import os
+
+            stride = -(-n // (sublanes // 2)) * (sublanes // 2)
+            if (
+                stride < n_pad
+                and 2 * stride <= 128
+                and b % 2 == 0
+                and deterministic
+                and self.layer_dropout == 0.0
+                and not os.environ.get("VIT_TPU_NO_PACK")
+            ):
+                x = jnp.pad(x, ((0, 0), (0, stride - n), (0, 0)))
+                x = x.reshape(b // 2, 2 * stride, x.shape[2])
+                true_tokens = n
+                block_tokens = stride
+                unpack = (b, stride, n)
+            elif n_pad != n:
                 x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
                 true_tokens = n
                 slice_back = n
@@ -345,6 +386,7 @@ class Transformer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 activation=self.activation,
                 true_tokens=true_tokens,
+                block_tokens=block_tokens,
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 name="blocks",
@@ -352,6 +394,9 @@ class Transformer(nn.Module):
             x, _ = stacked(x, deterministic)
             if self.final_norm:
                 x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="final_norm")(x)
+            if unpack is not None:
+                b, stride, n = unpack
+                x = x.reshape(b, stride, x.shape[2])[:, :n]
             return x[:, :slice_back] if slice_back is not None else x
         attn_kwargs = dict(
             dim=self.dim,
@@ -364,6 +409,7 @@ class Transformer(nn.Module):
             talking_heads=self.talking_heads,
             qkv_bias=self.qkv_bias,
             true_tokens=true_tokens,
+            block_tokens=block_tokens,
             norm_eps=self.norm_eps,
             dtype=self.dtype,
         )
@@ -412,4 +458,7 @@ class Transformer(nn.Module):
 
         if self.final_norm:
             x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="final_norm")(x)
+        if unpack is not None:
+            b, stride, n = unpack
+            x = x.reshape(b, stride, x.shape[2])[:, :n]
         return x[:, :slice_back] if slice_back is not None else x

@@ -215,25 +215,39 @@ def attention(
 
 def attention_block(
     x, ln_scale, ln_bias, wqkv, wout, bout, heads: int, *, scale=None, ln_eps=1e-6,
-    true_n=None,
+    true_n=None, block_tokens=None,
 ):
     """Dispatching fully-fused attention block (LN -> qkv -> attention ->
     out-proj -> +residual); XLA fallback off-TPU.
 
     ``true_n``: real token count when the caller keeps the residual stream
     pre-padded to the sublane tile (see fused_attention_block) — both
-    backends mask padded key columns identically."""
+    backends mask padded key columns identically. ``block_tokens``: the
+    per-sample stride of a sample-packed stream (block-diagonal attention;
+    see fused_attention_block) — both backends apply the same mask."""
     mode, auto = _resolved_mode()
-    n_real = true_n if true_n is not None else x.shape[1]
-    if mode == "xla" or (auto and mode == "pallas" and not _block_kernel_wins(n_real)):
+    # Dispatch on the width the kernel would actually process: a caller that
+    # keeps the stream pre-padded to the sublane tile (true_n set — the
+    # whole-encoder padding models/vit.py uses) hands the kernel an ALIGNED
+    # width with no pad/unpad copies, so the "XLA's fast unaligned 65..127
+    # bucket" rule does not apply — judge by the padded width instead.
+    # Measured at README scale (n=65 -> 80 padded, B=128, dim 1024) in the
+    # 4-arm dispatch x trunk-regime A/B: kernel 1.81 vs XLA 1.99 ms/layer,
+    # and in the SCANNED trunk the models now default to (blocks.py
+    # scan_unroll_for) whole-model 10982 vs 9985 img/s
+    # (measurements/r4/tune_zoo_tail_r4b.log) — the round-4 zoo-tail lift.
+    n_disp = x.shape[1]
+    if mode == "xla" or (auto and mode == "pallas" and not _block_kernel_wins(n_disp)):
         if scale is None:
             scale = (wqkv.shape[1] // 3 // heads) ** -0.5
         return xla_attention_block(
-            x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n
+            x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
+            block_tokens,
         )
     return fused_attention_block(
         x, ln_scale, ln_bias, wqkv, wout, bout, heads,
-        scale=scale, ln_eps=ln_eps, true_n=true_n, interpret=(mode == "interpret"),
+        scale=scale, ln_eps=ln_eps, true_n=true_n, block_tokens=block_tokens,
+        interpret=(mode == "interpret"),
     )
 
 

@@ -57,6 +57,7 @@ def _kernel(
     ln_eps: float,
     batch_tile: int,
     true_n: int,
+    block_tokens: int,
 ):
     precision = (
         jax.lax.Precision.HIGHEST
@@ -92,12 +93,20 @@ def _kernel(
                 preferred_element_type=jnp.float32, precision=precision,
             )
             s *= scale
-            if true_n != n:
+            if true_n != block_tokens or block_tokens != n:
                 # Token padding (16-row Mosaic alignment): padded key
                 # columns must not receive attention mass. Padded query
                 # rows produce garbage that the caller slices off.
+                # Sample packing (block_tokens < n): the row carries
+                # n // block_tokens samples, each padded to block_tokens
+                # rows with true_n real tokens — a key column is visible
+                # only to queries of ITS sample (block-diagonal mask).
                 col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col_ids < true_n, s, -1e30)
+                ok = col_ids % block_tokens < true_n
+                if block_tokens != n:
+                    row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    ok &= (col_ids // block_tokens) == (row_ids // block_tokens)
+                s = jnp.where(ok, s, -1e30)
             # jax.nn.softmax's exact op sequence (division, not
             # reciprocal-multiply) — see _ln_f32 note on rounding alignment.
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -122,12 +131,21 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "scale", "ln_eps", "true_n", "interpret")
+    jax.jit,
+    static_argnames=(
+        "heads", "scale", "ln_eps", "true_n", "block_tokens", "interpret"
+    ),
 )
 def _attention_block_impl(
-    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
+    block_tokens, interpret,
 ):
     b, n_in, dim = x.shape
+    if block_tokens is not None:
+        # Packed stream: the caller laid out n_in // block_tokens samples
+        # per row-block, already tile-aligned; true_n is the per-sample
+        # real token count.
+        assert true_n is not None and n_in % block_tokens == 0
     if true_n is None:
         true_n = n_in
     three_hd = wqkv.shape[1]
@@ -177,6 +195,7 @@ def _attention_block_impl(
         functools.partial(
             _kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps,
             batch_tile=bb, true_n=true_n,
+            block_tokens=block_tokens if block_tokens is not None else n,
         ),
         grid=grid,
         in_specs=[
@@ -210,13 +229,15 @@ def _attention_block_impl(
 
 
 def xla_attention_block(
-    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps=1e-6, true_n=None
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps=1e-6,
+    true_n=None, block_tokens=None,
 ):
     """Plain-XLA equivalent — reference, CPU fallback, and the recompute for
     the custom backward. ``true_n`` masks padded key columns out of the
     softmax when the caller keeps a padded residual stream (exactly the
     in-kernel rule, so padded and unpadded streams produce identical real
-    rows in every backend)."""
+    rows in every backend). ``block_tokens`` enables the packed-stream
+    block-diagonal mask (see ``fused_attention_block``)."""
     b, n, dim = x.shape
     hd = wqkv.shape[1] // 3
     d = hd // heads
@@ -230,9 +251,14 @@ def xla_attention_block(
     split = lambda t: t.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
     q, k, v = split(q), split(k), split(v)
     s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * scale
-    if true_n is not None and true_n != n:
+    bt = block_tokens if block_tokens is not None else n
+    if (true_n is not None and true_n != bt) or bt != n:
         col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        s = jnp.where(col_ids < true_n, s, -1e30)
+        ok = col_ids % bt < (true_n if true_n is not None else bt)
+        if bt != n:
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            ok &= (col_ids // bt) == (row_ids // bt)
+        s = jnp.where(ok, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhij,bhjd->bhid", p.astype(v.dtype), v)
     o = o.transpose(0, 2, 1, 3).reshape(b, n, hd).astype(wout.dtype)
@@ -241,27 +267,33 @@ def xla_attention_block(
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _attention_block_ad(
-    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
+    block_tokens, interpret,
 ):
     return _attention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
+        block_tokens, interpret,
     )
 
 
 def _ab_fwd(
-    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
+    x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
+    block_tokens, interpret,
 ):
     out = _attention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n, interpret
+        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
+        block_tokens, interpret,
     )
     return out, (x, ln_scale, ln_bias, wqkv, wout, bout)
 
 
-def _ab_bwd(heads, scale, ln_eps, true_n, interpret, res, g):
+def _ab_bwd(heads, scale, ln_eps, true_n, block_tokens, interpret, res, g):
     def f(*diff_args):
-        return xla_attention_block(*diff_args, heads, scale, ln_eps, true_n)
+        return xla_attention_block(
+            *diff_args, heads, scale, ln_eps, true_n, block_tokens
+        )
 
     _, vjp = jax.vjp(f, *res)
     return vjp(g.astype(res[0].dtype))
@@ -282,6 +314,7 @@ def fused_attention_block(
     scale: Optional[float] = None,
     ln_eps: float = 1e-6,
     true_n: Optional[int] = None,
+    block_tokens: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``x + out_proj(attention(qkv_proj(LN(x))))`` in one kernel.
@@ -293,10 +326,18 @@ def fused_attention_block(
     sublane tile (padded key columns are masked out of the softmax; padded
     query rows come back as don't-care values). Passing it skips the
     per-call pad/slice of the full stream.
+
+    ``block_tokens``: sample-packed stream mode (round 4). The caller lays
+    out k = n // block_tokens samples per batch row, each padded to
+    ``block_tokens`` rows with ``true_n`` real tokens, so an unaligned
+    token count pays the sublane pad tax once per k samples instead of
+    once per sample (65 tokens: 80 padded rows/sample solo vs 72 packed
+    at k=2). Attention is masked block-diagonally — queries only see keys
+    of their own sample — and every row-wise op (LN, MLP) is unaffected.
     """
     if scale is None:
         scale = (wqkv.shape[1] // 3 // heads) ** -0.5
     return _attention_block_ad(
         x, ln_scale, ln_bias, wqkv, wout, bout, heads, float(scale), ln_eps,
-        true_n, interpret,
+        true_n, block_tokens, interpret,
     )

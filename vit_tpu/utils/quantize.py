@@ -84,13 +84,14 @@ def quantize_vit(variables: Dict[str, Any]) -> Dict[str, Any]:
 # Measured mode selection (PERFORMANCE.md int8 table + batch sweep, real
 # v5e chip, ViT-L/16 @224): the fused-kernel encoder wins from batch 16 up
 # in every sweep sample (16: 1230 vs 1188 XLA w8a8; 64: 1636 vs 1301;
-# 128: 1694 vs 1215 — measurements/r3/quant_sweep.log), batch 8 is
-# ambiguous across runs (973 vs 890 in the sweep, 831 vs 905 in the
-# headline-table run) so the XLA path keeps the mid-batch regime as the
-# conservative choice, and at batch 1 all modes converge to the
+# 128: 1694 vs 1215 — measurements/r3/quant_sweep.log). Batch 8 flipped
+# between single-run round-3 sweeps, so round 4 re-pinned it from 5 fenced
+# timing runs per mode: kernel 1042 ± 8 vs XLA w8a8 999 ± 17 img/s —
+# non-overlapping intervals, the kernel wins batch 8 too
+# (measurements/r4/int8_acc_r4.log). At batch 1 all modes converge to the
 # weight-HBM bound (~232-238 img/s) where weight-only `w8` carries ~half
 # the logit error for the same speed.
-W8A8_KERNEL_MIN_BATCH = 16
+W8A8_KERNEL_MIN_BATCH = 8
 
 
 def resolve_quant_mode(batch: int) -> str:
