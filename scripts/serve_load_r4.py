@@ -100,12 +100,12 @@ def main():
                            jnp.zeros((1, 224, 224, 3), jnp.bfloat16))
     )()
     pipeline = InferencePipeline(model, variables, image_size=224, batch_size=64)
-    # warm the compile (both the full-batch program and the padded path)
-    pipeline(np.zeros((64, 224, 224, 3), np.uint8))
+    # compile every batch-bucket program before traffic starts
+    pipeline.warm()
     jpegs = make_jpegs(N_JPEGS)
     print(f"# {N_JPEGS} jpegs ready; {N_REQ} requests per load point", flush=True)
 
-    results = {"loads": [], "wait_sweep": []}
+    results = {"loads": [], "int8_loads": [], "wait_sweep": []}
     for rate in LOADS:
         with BatchingServer(pipeline, decoder=JpegDecoder(size=224),
                             max_batch=64, max_wait_ms=5.0) as server:
@@ -114,6 +114,26 @@ def main():
         row = stats(lat, wall, N_REQ, rate)
         results["loads"].append(row)
         print(f"load {rate:4d} img/s offered: {row}", flush=True)
+
+    # The int8 serving mode: ViT-L's bf16 small-batch device time is the
+    # 24-layer dispatch floor (~40 ms/batch — the device itself caps tiny-
+    # batch service at ~25 batch/s), where the fused int8 kernels run
+    # batch-8 in ~8 ms. This is the latency-critical serving config.
+    from vit_tpu.utils.quantize import quantize_vit, vit_apply_w8a8
+
+    qvars = quantize_vit(variables)
+    q_pipeline = InferencePipeline(
+        model, qvars, image_size=224, batch_size=64,
+        apply_fn=lambda v, x: vit_apply_w8a8(model, v, x, mode="auto"),
+    ).warm()
+    for rate in LOADS:
+        with BatchingServer(q_pipeline, decoder=JpegDecoder(size=224),
+                            max_batch=64, max_wait_ms=5.0) as server:
+            server.classify(jpegs[0])
+            lat, wall = run_load(server, jpegs, rate, N_REQ)
+        row = stats(lat, wall, N_REQ, rate)
+        results["int8_loads"].append(row)
+        print(f"int8 load {rate:4d} img/s offered: {row}", flush=True)
 
     mid = LOADS[1]
     for wait_ms in WAIT_SWEEP_MS:

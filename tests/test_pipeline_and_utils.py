@@ -42,6 +42,24 @@ def test_pipeline_ragged_batches():
     np.testing.assert_allclose(out[:3], out2, atol=1e-5)
 
 
+def test_pipeline_batch_buckets():
+    """Ragged batches pad to the smallest compiled BUCKET, not the full
+    batch (the round-4 serving-latency fix): every bucket program produces
+    the same logits, warm() precompiles them all, and n=0 still returns
+    (0, C)."""
+    variables = _variables()
+    pipe = InferencePipeline(MODEL, variables, image_size=32, batch_size=16,
+                             dtype=jnp.float32).warm()
+    assert pipe.batch_buckets == [1, 4, 16]
+    assert [pipe._bucket_for(n) for n in (0, 1, 2, 4, 5, 16, 40)] == \
+        [1, 1, 4, 4, 16, 16, 16]
+    raw = (np.random.rand(16, 40, 40, 3) * 255).astype(np.uint8)
+    full = pipe(raw)
+    for n in (1, 2, 5):  # bucket-1, bucket-4 (padded), bucket-16 (padded)
+        np.testing.assert_allclose(pipe(raw[:n]), full[:n], atol=1e-5)
+    assert pipe(raw[:0]).shape == (0, 10)
+
+
 def test_aot_export_roundtrip():
     """AOT serving artifact: export the fused preprocess+model program with
     weights baked in, reload it from bytes, and serve — logits must match

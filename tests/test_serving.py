@@ -126,3 +126,24 @@ def test_close_joins_when_final_batch_fully_fails_decode():
     assert not srv._thread.is_alive()
     with pytest.raises(Exception):
         f.result(timeout=1)
+
+
+def test_pipeline_depth_variants():
+    """The in-flight window (pipeline_depth — the round-4 small-batch
+    throughput lever) must not change results or strand futures at any
+    depth, including the legacy one-batch lookahead (depth 1)."""
+    import pytest
+
+    pipe = _pipeline(batch_size=4)
+    decoder = JpegDecoder(size=40)
+    jpegs = [_jpeg(i) for i in range(12)]
+    want = {i: pipe(decoder([j])[None][0])[0] for i, j in enumerate(jpegs)}
+    for depth in (1, 3):
+        with BatchingServer(pipe, decoder=decoder, max_batch=4,
+                            max_wait_ms=2, pipeline_depth=depth) as srv:
+            futs = [srv.submit(j) for j in jpegs]
+            for i, f in enumerate(futs):
+                np.testing.assert_allclose(f.result(timeout=60), want[i],
+                                           atol=1e-5)
+        # close() after the context: every future must already be done
+        assert all(f.done() for f in futs)

@@ -75,8 +75,18 @@ def preprocess(
 
 
 class InferencePipeline:
-    """Preprocess + forward in one compiled program, with fixed-batch
-    padding and optional data-parallel sharding."""
+    """Preprocess + forward in one compiled program per batch BUCKET, with
+    pad-to-bucket and optional data-parallel sharding.
+
+    Round 4: a single fixed-batch program made low-load serving latency
+    collapse — every 1–3-image batch the ``BatchingServer`` formed padded
+    to the full batch-64 ViT-L program (~55 ms + 64× decode), so the queue
+    balanced at ~1.3 s p50 even at 50 img/s offered
+    (measurements/r4/serve_load_r4.log, pre-fix run). Ragged batches now
+    pad to the smallest compiled bucket (default 1, 4, 16, ``batch_size``
+    — ×4 spacing keeps the compile count at 4 while the dispatch-floor
+    regime keeps small-bucket cost near-flat). Call ``warm()`` before
+    serving so no bucket compiles mid-traffic."""
 
     def __init__(
         self,
@@ -85,6 +95,7 @@ class InferencePipeline:
         *,
         image_size: int,
         batch_size: int = 64,
+        batch_buckets: Optional[Sequence[int]] = None,
         mesh=None,
         dtype=jnp.bfloat16,
         apply_fn=None,
@@ -94,6 +105,17 @@ class InferencePipeline:
         self.batch_size = batch_size
         self.image_size = image_size
         self.dtype = dtype
+        if mesh is not None:
+            # sharded batches must stay divisible by the data axis: keep
+            # the single fixed-batch program under a mesh
+            batch_buckets = [batch_size]
+        elif batch_buckets is None:
+            batch_buckets = []
+            b = batch_size
+            while b >= 1:
+                batch_buckets.append(b)
+                b //= 4
+        self.batch_buckets = sorted(set(int(b) for b in batch_buckets) | {batch_size})
 
         # apply_fn(variables, x) overrides the forward — e.g. the int8
         # path: InferencePipeline(model, qvars, apply_fn=lambda v, x:
@@ -119,6 +141,24 @@ class InferencePipeline:
         else:
             self._fn = jax.jit(run)
 
+    def _bucket_for(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if b >= n:
+                return b
+        return self.batch_size
+
+    def warm(self):
+        """Compile every bucket program up front (first compile over this
+        environment's tunnel is ~20-40 s — never pay it mid-traffic)."""
+        shape = (self.image_size, self.image_size, 3)
+        for b in self.batch_buckets:
+            np.asarray(
+                self._fn(
+                    self.variables, jnp.zeros((b,) + shape, jnp.uint8)
+                )
+            )
+        return self
+
     def dispatch(self, raw_images: np.ndarray):
         """Asynchronously dispatch a host batch; returns the list of
         in-flight device arrays (one per compiled-batch chunk) without
@@ -132,13 +172,14 @@ class InferencePipeline:
         # crashing np.concatenate downstream
         for start in range(0, max(n, 1), bs):
             chunk = raw_images[start : start + bs]
-            pad = bs - chunk.shape[0]
+            bucket = self._bucket_for(chunk.shape[0])
+            pad = bucket - chunk.shape[0]
             if chunk.shape[0] == 0:
-                chunk = np.zeros((bs,) + raw_images.shape[1:], raw_images.dtype)
+                chunk = np.zeros((bucket,) + raw_images.shape[1:], raw_images.dtype)
             elif pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
             logits = self._fn(self.variables, jnp.asarray(chunk))
-            pending.append(logits[: bs - pad if pad else bs])
+            pending.append(logits[: bucket - pad if pad else bucket])
         return pending
 
     def __call__(self, raw_images: np.ndarray) -> np.ndarray:

@@ -11,12 +11,16 @@ compiled program for every fill level), and resolves each request's
 ``Future`` with its own logits row.
 
 Design notes, TPU-first:
-- One batcher thread is enough: JPEG decode releases the GIL (C++ decoder)
-  and the device dispatch is asynchronous (``pipeline.dispatch``), so
-  queue-wait + decode of batch k+1 overlaps device compute of batch k —
-  the same overlap the streaming loop (``data.classify_jpeg_stream``)
-  exploits. The in-flight batch resolves as soon as the next one is
-  decoded, or after one ``max_wait_ms`` idle tick when traffic stops.
+- Two threads: the batcher (queue-wait + GIL-free JPEG decode + async
+  device dispatch) and a resolver (device->host pulls + future
+  resolution). Keeping the pull out of the batcher matters measurably:
+  over this environment's tunnel a device round trip is ~15 ms, and a
+  single-threaded server's cycle becomes decode + round trip — it
+  saturated at the OFFERED rate at small batches (p50 ~1.1-1.6 s at just
+  50 img/s, measurements/r4/serve_load_r4.log). Split, the batcher's
+  cycle is decode-bound and consecutive pulls pipeline on the device
+  queue; ``pipeline_depth`` bounds un-pulled in-flight batches
+  (backpressure when the device falls behind).
 - Errors are per-request: a corrupt JPEG fails its own future (decode is
   retried per-item to isolate the offender), and a pre-decoded array whose
   shape doesn't match the decoder's output fails its own future instead of
@@ -56,17 +60,32 @@ class BatchingServer:
         decoder: Optional[JpegDecoder] = None,
         max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
+        pipeline_depth: int = 2,
     ):
         self.pipeline = pipeline
         self.decoder = decoder or JpegDecoder(size=256)
         self.max_batch = max_batch or getattr(pipeline, "batch_size", 64)
         self.max_wait_s = max_wait_ms / 1e3
+        # Bound on un-materialized in-flight device batches. The round-4
+        # load benchmark showed that resolving (device->host pull) in the
+        # BATCHER thread makes the service cycle decode + device round
+        # trip, which saturates at the offered rate at small batches
+        # (p50 ~1.1-1.6 s at 50 img/s over this environment's ~15 ms
+        # tunnel). Resolution therefore runs in a dedicated thread: the
+        # batcher's cycle is pure queue-wait + decode, and round trips
+        # pipeline on the device queue. ``pipeline_depth`` is the
+        # backpressure bound: the batcher blocks once this many batches
+        # are in flight un-pulled (measurements/r4/serve_load_r4.log).
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._q: "queue.Queue" = queue.Queue()
+        self._rq: "queue.Queue" = queue.Queue(maxsize=self.pipeline_depth)
         self._closed = False
         # serializes submit vs close: guarantees no request is ever enqueued
         # AFTER the shutdown sentinel (which the batcher treats as
         # end-of-stream — a straggler behind it would strand its Future)
         self._lock = threading.Lock()
+        self._resolver = threading.Thread(target=self._resolver_loop, daemon=True)
+        self._resolver.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -87,13 +106,16 @@ class BatchingServer:
         return self.submit(item).result(timeout=timeout)
 
     def close(self, timeout: float = 10.0) -> None:
-        """Drain outstanding requests and stop the batcher thread."""
+        """Drain outstanding requests and stop both threads."""
         with self._lock:
             if self._closed:
                 return
             self._closed = True
             self._q.put(None)  # wake the batcher; nothing can follow it
         self._thread.join(timeout=timeout)
+        # the batcher pushes the resolver's sentinel as its last act; join
+        # so every future is resolved when close() returns
+        self._resolver.join(timeout=timeout)
 
     def __enter__(self):
         return self
@@ -181,47 +203,51 @@ class BatchingServer:
                 if not f.done():
                     f.set_exception(e)
 
-    def _loop(self):
-        # `pending` holds the previous batch's in-flight device arrays: the
-        # next batch's queue-wait + JPEG decode (GIL-free) runs while the
-        # device computes it — the same decode/compute overlap as
-        # data.classify_jpeg_stream. It resolves as soon as the next batch
-        # is decoded, on an idle tick (max_wait_s with no traffic), or at
-        # shutdown.
-        dispatch = getattr(self.pipeline, "dispatch", None)
-        pending = None
+    def _resolver_loop(self):
+        """Materialize in-flight device batches and resolve their futures.
+
+        Runs apart from the batcher so the device->host pull (the full
+        device round trip — ~15 ms over this environment's tunnel) never
+        stalls batch formation: the batcher's cycle is queue-wait + decode
+        only, and consecutive pulls pipeline on the device queue."""
         while True:
-            batch = self._collect(block=pending is None)
-            if batch is None:  # shutdown, queue drained
-                self._resolve(pending)
+            pending = self._rq.get()
+            if pending is None:
                 return
-            if not batch:  # idle tick
-                self._resolve(pending)
-                pending = None
-                continue
-            items, futures = zip(*batch)
-            raw, live = self._decode(list(items), list(futures))
-            self._resolve(pending)  # device time fully overlapped by now
-            pending = None
-            if raw is None:
-                # the shutdown sentinel may have been the flush that closed
-                # this (fully-failed) batch — without this check the loop
-                # would block forever in the next _collect and close() would
-                # never join the thread
+            self._resolve(pending)
+
+    def _loop(self):
+        # The batcher collects + decodes + dispatches; materialization
+        # happens in _resolver_loop. _rq's maxsize bounds un-pulled
+        # in-flight batches (backpressure when the device falls behind).
+        dispatch = getattr(self.pipeline, "dispatch", None)
+        try:
+            while True:
+                batch = self._collect(block=True)
+                if batch is None:  # shutdown, queue drained
+                    return
+                items, futures = zip(*batch)
+                raw, live = self._decode(list(items), list(futures))
+                if raw is None:
+                    # the shutdown sentinel may have been the flush that
+                    # closed this (fully-failed) batch — without this check
+                    # the loop would block forever in the next _collect and
+                    # close() would never join the thread
+                    if self._closed and self._q.empty():
+                        return
+                    continue
+                try:
+                    if dispatch is not None:
+                        self._rq.put((dispatch(raw), live))
+                    else:  # plain-callable pipeline: synchronous fallback
+                        logits = self.pipeline(raw)
+                        for i, f in enumerate(live):
+                            f.set_result(logits[i])
+                except Exception as e:
+                    for f in live:
+                        if not f.done():
+                            f.set_exception(e)
                 if self._closed and self._q.empty():
                     return
-                continue
-            try:
-                if dispatch is not None:
-                    pending = (dispatch(raw), live)
-                else:  # plain-callable pipeline: synchronous fallback
-                    logits = self.pipeline(raw)
-                    for i, f in enumerate(live):
-                        f.set_result(logits[i])
-            except Exception as e:
-                for f in live:
-                    if not f.done():
-                        f.set_exception(e)
-            if self._closed and self._q.empty():
-                self._resolve(pending)
-                return
+        finally:
+            self._rq.put(None)  # resolver drains FIFO, then exits
