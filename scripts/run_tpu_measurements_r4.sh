@@ -19,8 +19,15 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 MANIFEST="$LEDGER/MANIFEST.tsv"
 [ -f "$MANIFEST" ] || printf 'name\tcommand\texit\twall_s\tstarted\n' > "$MANIFEST"
 
+# Optional stage selection: `run_tpu_measurements_r4.sh bench bench2`
+# runs only those stages (default: all).
+ONLY="$*"
+
 run() {
   name=$1; shift
+  if [ -n "$ONLY" ]; then
+    case " $ONLY " in *" $name "*) ;; *) return ;; esac
+  fi
   start=$(date +%H:%M:%S)
   t0=$SECONDS
   timeout "${STAGE_TIMEOUT:-1800}" "$@" > "$LEDGER/$name.log" 2>&1
