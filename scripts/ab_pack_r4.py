@@ -8,12 +8,11 @@ print(f"# probe {probe_ms():.1f} ms", flush=True)
 from vit_tpu.models import CrossViT, PatchMergerViT
 
 BATCH, ITERS = 128, 10
+from r3util import timed_batch
+
+
 def timed(fn, *a):
-    np.asarray(fn(*a)); np.asarray(fn(*a))
-    t0 = time.perf_counter()
-    for _ in range(ITERS): out = fn(*a)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / ITERS
+    return timed_batch(fn, *a, iters=ITERS)
 
 cfgs = {
   "cross_vit": (CrossViT, dict(image_size=256, num_classes=1000, depth=4,

@@ -77,3 +77,22 @@ def timed_scalar(fn, *args, reps=5):
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2] * 1e3
+
+
+def timed_batch(fn, *args, iters=10):
+    """Whole-model throughput timing: warm twice, run ``iters`` dispatches,
+    fence ONCE on the last output (block_until_ready under-reports on this
+    environment's tunneled backend — see bench.py's timing notes). Returns
+    seconds per call. The shared form of the helper the round-4 tuning
+    scripts each carried locally."""
+    import time
+
+    import numpy as np
+
+    np.asarray(fn(*args))
+    np.asarray(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / iters

@@ -27,13 +27,11 @@ from r3util import probe_ms
 BATCH, ITERS = 128, 10
 
 
+from r3util import timed_batch
+
+
 def timed(fn, *args):
-    np.asarray(fn(*args)); np.asarray(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / ITERS
+    return timed_batch(fn, *args, iters=ITERS)
 
 
 def main():

@@ -473,3 +473,20 @@ def test_evaluate_caches_eval_step():
     first = train_mod._EVAL_STEP_CACHE[MODEL]
     train_mod.evaluate(MODEL, variables, [(imgs, labels)])
     assert train_mod._EVAL_STEP_CACHE[MODEL] is first
+
+
+def test_pipeline_explicit_buckets_honored_under_mesh():
+    """An explicit batch_buckets list survives a mesh (the caller owns
+    divisibility); only the DEFAULT derivation collapses to the single
+    fixed-batch program under a mesh."""
+    from vit_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    v = _variables()
+    explicit = InferencePipeline(MODEL, v, image_size=32, batch_size=16,
+                                 batch_buckets=[8, 16], mesh=mesh,
+                                 dtype=jnp.float32)
+    assert explicit.batch_buckets == [8, 16]
+    default = InferencePipeline(MODEL, v, image_size=32, batch_size=16,
+                                mesh=mesh, dtype=jnp.float32)
+    assert default.batch_buckets == [16]

@@ -270,7 +270,8 @@ class Transformer(nn.Module):
     parallel_branches: int = 1
     final_norm: bool = False
     scan: bool = True
-    scan_unroll: Optional[int] = None  # None = full unroll when depth <= 8
+    scan_unroll: Optional[int] = None  # None = scan_unroll_for's policy
+    # (the scan loop from depth 5 up; full unroll below)
     # Real token count when the caller keeps the stream padded to the Mosaic
     # sublane tile across the whole stack — removes the fused kernel's
     # per-layer pad/slice of the full stream. Usually left None: with

@@ -105,9 +105,12 @@ class InferencePipeline:
         self.batch_size = batch_size
         self.image_size = image_size
         self.dtype = dtype
-        if mesh is not None:
-            # sharded batches must stay divisible by the data axis: keep
-            # the single fixed-batch program under a mesh
+        if mesh is not None and batch_buckets is None:
+            # sharded batches must stay divisible by the data axis, which
+            # the DEFAULT bucket derivation (down to 1) can't promise —
+            # keep the single fixed-batch program. An explicit
+            # batch_buckets list is honored as given: the caller owns
+            # mesh divisibility.
             batch_buckets = [batch_size]
         elif batch_buckets is None:
             batch_buckets = []

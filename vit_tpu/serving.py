@@ -61,6 +61,7 @@ class BatchingServer:
         max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
         pipeline_depth: int = 2,
+        warm: bool = True,
     ):
         self.pipeline = pipeline
         self.decoder = decoder or JpegDecoder(size=256)
@@ -73,10 +74,17 @@ class BatchingServer:
         # (p50 ~1.1-1.6 s at 50 img/s over this environment's ~15 ms
         # tunnel). Resolution therefore runs in a dedicated thread: the
         # batcher's cycle is pure queue-wait + decode, and round trips
-        # pipeline on the device queue. ``pipeline_depth`` is the
-        # backpressure bound: the batcher blocks once this many batches
-        # are in flight un-pulled (measurements/r4/serve_load_r4.log).
+        # pipeline on the device queue. ``pipeline_depth`` bounds the
+        # resolver queue; the true in-flight count can exceed it by up to
+        # two (one batch being dispatched by the blocked batcher, one
+        # popped mid-materialization by the resolver) — size device/host
+        # headroom for depth+2 batches (measurements/r4/serve_load_r4.log).
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # Compile every fill-level program BEFORE traffic: a first-seen
+        # bucket would otherwise jit mid-traffic (~20-40 s over this
+        # environment's remote compiler) while every queued request stalls.
+        if warm and hasattr(pipeline, "warm"):
+            pipeline.warm()
         self._q: "queue.Queue" = queue.Queue()
         self._rq: "queue.Queue" = queue.Queue(maxsize=self.pipeline_depth)
         self._closed = False
