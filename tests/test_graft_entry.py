@@ -47,7 +47,7 @@ def test_dryrun_multichip_fresh_subprocess():
         f"driver-style dryrun failed:\nSTDOUT:\n{result.stdout}\n"
         f"STDERR:\n{result.stderr}"
     )
-    assert "dryrun_multichip ok [dp tp pp sp ep]" in result.stdout
+    assert "dryrun_multichip ok [dp tp pp 3d sp ep]" in result.stdout
     # every parallelism axis reports in the one consolidated run (VERDICT
     # r3 item 3: no env-var rotation — dp/tp/pp/sp/ep in a single artifact)
     for leg in ("dp_tp[vit]", "dp_tp[crossformer]", "dp_tp[cvt]",

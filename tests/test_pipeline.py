@@ -121,3 +121,48 @@ def test_pipeline_qkv_bias_model_matches_single_device():
         np.asarray(fn(variables, img)), np.asarray(model.apply(variables, img)),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_pipeline3d_dp_pp_tp_matches_single_device():
+    """3D parallelism in one program: batch over data (2), depth over pipe
+    (2), every block's GEMMs tensor-sharded over model (2 — Megatron
+    column/row split with in-stage psums). Logits must match the
+    unpipelined single-device apply, and the compiled HLO must carry BOTH
+    collective classes: the pipe ppermute (collective-permute) and the
+    tp reduction (all-reduce)."""
+    from vit_tpu.parallel.pipeline import (
+        make_pipeline3d_mesh,
+        pipeline_tp_vit_apply,
+    )
+
+    variables, img = _init(batch=8)
+    mesh = make_pipeline3d_mesh(n_pipe=2, n_data=2, n_model=2)
+    fn = jax.jit(lambda v, im: pipeline_tp_vit_apply(MODEL, v, im, mesh, n_micro=2))
+    out = fn(variables, img)
+    ref = MODEL.apply(variables, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    hlo = fn.lower(variables, img).compile().as_text()
+    assert "collective-permute" in hlo  # pipe handoff
+    assert "all-reduce" in hlo          # tp row-parallel psum
+
+
+def test_pipeline3d_head_sharding_is_whole_heads():
+    """The tp split must shard WHOLE heads of the [q|k|v] fused kernel:
+    with model=4 and 4 heads each shard owns one head, and the result
+    still matches the unpipelined apply (a wrong column split would mix
+    q/k/v sections and diverge wildly)."""
+    from vit_tpu.parallel.pipeline import (
+        make_pipeline3d_mesh,
+        pipeline_tp_vit_apply,
+    )
+
+    variables, img = _init(batch=4)
+    mesh = make_pipeline3d_mesh(n_pipe=2, n_data=1, n_model=4)
+    out = jax.jit(
+        lambda v, im: pipeline_tp_vit_apply(MODEL, v, im, mesh, n_micro=2)
+    )(variables, img)
+    ref = MODEL.apply(variables, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -42,7 +42,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from vit_tpu.parallel.mesh import DATA_AXIS
+from vit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 PIPE_AXIS = "pipe"
 
@@ -66,6 +66,28 @@ def make_pipeline_mesh(
     return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
 
 
+def make_pipeline3d_mesh(
+    n_pipe: int,
+    n_data: int = 1,
+    n_model: int = 1,
+    *,
+    devices=None,
+) -> Mesh:
+    """A ``(data, pipe, model)`` mesh for 3D parallelism. The model axis is
+    innermost (tensor-parallel psums ride adjacent ICI links every layer),
+    pipe next (one ppermute per tick), data outermost (gradient reduction
+    only)."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_pipe * n_data * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"3d mesh needs {n_data}x{n_pipe}x{n_model} = {need} devices, "
+            f"found {len(devices)}"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_data, n_pipe, n_model)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
+
+
 def spmd_pipeline(
     block_fn: Callable[[Any, jax.Array], jax.Array],
     stacked_params: Any,
@@ -74,6 +96,7 @@ def spmd_pipeline(
     *,
     n_micro: Optional[int] = None,
     axis_name: str = PIPE_AXIS,
+    param_specs: Any = None,
 ) -> jax.Array:
     """Apply ``depth`` blocks to ``x`` with the depth axis pipelined.
 
@@ -84,6 +107,14 @@ def spmd_pipeline(
     keeps every stage busy in the steady state). ``depth`` must divide by
     the pipe-axis size and ``batch`` by ``n_micro`` (× the data-axis size
     when the mesh has one).
+
+    ``param_specs`` (optional, for tensor parallelism inside a stage): a
+    pytree matching ``stacked_params`` whose leaves are tuples of mesh
+    axis names (or None) for the dims AFTER the leading depth axis — e.g.
+    a column-parallel kernel ``(depth, D, heads, dh)`` takes
+    ``(None, MODEL_AXIS, None)``. ``block_fn`` then receives tp-local
+    leaves and owns the in-stage collectives (``lax.psum`` over
+    ``MODEL_AXIS`` after its row-parallel GEMMs).
     """
     n_stages = mesh.shape[axis_name]
     depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -152,14 +183,67 @@ def spmd_pipeline(
             jnp.where(sid == n_stages - 1, outs, jnp.zeros_like(outs)), axis_name
         )
 
+    if param_specs is None:
+        in_param_specs = P(axis_name)
+    else:
+        in_param_specs = jax.tree.map(
+            lambda spec: P(axis_name, None, *spec),
+            param_specs,
+            is_leaf=lambda v: isinstance(v, tuple),
+        )
     out = shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(axis_name), P(None, data_ax)),
+        in_specs=(in_param_specs, P(None, data_ax)),
         out_specs=P(None, data_ax),
         check_vma=False,
     )(staged, mb)
     return out.reshape((b,) + x.shape[1:])
+
+
+def _vit_embed_and_pad(model, params, img):
+    """Shared ViT prologue for the pipelined applies: patch embed, cls/pos,
+    and the encoder's one-time sublane pad (mirrors models/vit.py:48-79 and
+    Transformer.auto_pad's guard — the qkv-bias flax attention path doesn't
+    mask padded key columns, so HF/timm-imported ViTs run unpadded here
+    too). Returns ``(x, n, true_tokens)``."""
+    from vit_tpu.core.utils import pair
+    from vit_tpu.nn.embed import PatchEmbed
+
+    ph, _ = pair(model.patch_size)
+    x = PatchEmbed(
+        model.dim, ph, dtype=model.dtype,
+        out_dtype=model.residual_dtype or model.dtype,
+    ).apply({"params": params["patch_embed"]}, img)
+    b = x.shape[0]
+    cls = params["cls"]
+    pos = params["pos_embedding"]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, model.dim)), x], axis=1
+    )
+    x = x + pos.astype(x.dtype)
+    n = x.shape[1]
+    true_tokens = None
+    if not model.qkv_bias:
+        sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
+        n_pad = -(-n // sublanes) * sublanes
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+            true_tokens = n
+    return x, n, true_tokens
+
+
+def _vit_head(model, params, x, n):
+    from flax import linen as nn
+
+    x = x[:, :n]
+    x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
+    x = nn.LayerNorm(epsilon=model.norm_eps, dtype=jnp.float32).apply(
+        {"params": params["head_norm"]}, x
+    )
+    return nn.Dense(model.num_classes, dtype=jnp.float32).apply(
+        {"params": params["head"]}, x
+    )
 
 
 def pipeline_vit_apply(
@@ -179,37 +263,10 @@ def pipeline_vit_apply(
     single-device ``model.apply`` (asserted ≤1e-5 in tests); gradients
     through this function match the unpipelined gradients.
     """
-    from flax import linen as nn
-
-    from vit_tpu.core.utils import pair
     from vit_tpu.nn.blocks import EncoderBlock
-    from vit_tpu.nn.embed import PatchEmbed
 
     params = variables["params"]
-    ph, _ = pair(model.patch_size)
-    x = PatchEmbed(
-        model.dim, ph, dtype=model.dtype,
-        out_dtype=model.residual_dtype or model.dtype,
-    ).apply({"params": params["patch_embed"]}, img)
-    b = x.shape[0]
-    cls = params["cls"]
-    pos = params["pos_embedding"]
-    x = jnp.concatenate(
-        [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, model.dim)), x], axis=1
-    )
-    x = x + pos.astype(x.dtype)
-
-    # one-time sublane pad, identical to Transformer.auto_pad — including
-    # its guard: the qkv-bias (flax submodule) attention path doesn't mask
-    # padded key columns, so HF/timm-imported ViTs run unpadded here too
-    n = x.shape[1]
-    true_tokens = None
-    if not model.qkv_bias:
-        sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
-        n_pad = -(-n // sublanes) * sublanes
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-            true_tokens = n
+    x, n, true_tokens = _vit_embed_and_pad(model, params, img)
 
     block = EncoderBlock(
         dim=model.dim,
@@ -231,12 +288,129 @@ def pipeline_vit_apply(
     x = spmd_pipeline(
         block_fn, params["encoder"]["blocks"], x, mesh, n_micro=n_micro
     )
-    x = x[:, :n]
+    return _vit_head(model, params, x, n)
 
-    x = x[:, 0] if model.pool == "cls" else jnp.mean(x, axis=1)
-    x = nn.LayerNorm(epsilon=model.norm_eps, dtype=jnp.float32).apply(
-        {"params": params["head_norm"]}, x
+
+def pipeline_tp_vit_apply(
+    model,
+    variables: Any,
+    img: jax.Array,
+    mesh: Mesh,
+    *,
+    n_micro: Optional[int] = None,
+) -> jax.Array:
+    """3D-parallel ViT forward: depth pipelined over ``pipe``, every
+    block's GEMMs tensor-sharded over ``model`` (Megatron split: qkv/W1
+    column-parallel by heads / hidden, out/W2 row-parallel with one
+    ``lax.psum`` each), batch over ``data`` — all three axes in ONE
+    program on a ``make_pipeline3d_mesh`` mesh.
+
+    The block body is the explicit-collective twin of
+    ``ops.xla_attention_block`` + the MLP (same op order and fp32
+    epilogues, so logits match the single-device ``model.apply``); it runs
+    inside the pipeline's shard_map, so the per-layer psums ride the
+    innermost (adjacent-ICI) mesh axis while the per-tick ppermute rides
+    ``pipe``. Requires ``heads`` and ``mlp_dim`` divisible by the model-
+    axis size.
+    """
+    from vit_tpu.nn.blocks import _activate
+    from vit_tpu.ops.block_attention import _ln_f32
+
+    params = variables["params"]
+    n_model = mesh.shape[MODEL_AXIS]
+    if model.heads % n_model or model.mlp_dim % n_model:
+        raise ValueError(
+            f"heads {model.heads} and mlp_dim {model.mlp_dim} must divide "
+            f"by the model axis ({n_model})"
+        )
+    if model.qkv_bias:
+        raise ValueError(
+            "pipeline_tp_vit_apply shards the raw-param attention layout; "
+            "qkv_bias (flax-submodule) ViTs aren't supported here"
+        )
+    x, n, true_tokens = _vit_embed_and_pad(model, params, img)
+
+    blocks = params["encoder"]["blocks"]
+    attn, ff = blocks["attn"], blocks["ff"]
+    depth = attn["qkv_kernel"].shape[0]
+    dim, heads, dh = model.dim, model.heads, model.dim_head
+    dtype = model.dtype or x.dtype
+    eps = model.norm_eps
+    scale = dh**-0.5
+
+    # tp-layout views: expose the head axis (qkv columns are [q|k|v] blocks
+    # of heads*dh — reshape so the MODEL axis shards whole heads) and the
+    # hidden axis; biases of row-parallel GEMMs stay replicated and are
+    # added AFTER the psum.
+    tp_params = {
+        "ln1_s": attn["norm_scale"], "ln1_b": attn["norm_bias"],
+        "wqkv": attn["qkv_kernel"].reshape(depth, dim, 3, heads, dh),
+        "wout": attn["out_kernel"].reshape(depth, heads, dh, dim),
+        "bout": attn["out_bias"],
+        "ln2_s": ff["ln_scale"], "ln2_b": ff["ln_bias"],
+        "w1": ff["w1"], "b1": ff["b1"], "w2": ff["w2"], "b2": ff["b2"],
+    }
+    tp_specs = {
+        "ln1_s": (None,), "ln1_b": (None,),
+        "wqkv": (None, None, MODEL_AXIS, None),   # column-parallel by head
+        "wout": (MODEL_AXIS, None, None),         # row-parallel by head
+        "bout": (None,),
+        "ln2_s": (None,), "ln2_b": (None,),
+        "w1": (None, MODEL_AXIS),                 # column-parallel hidden
+        "b1": (MODEL_AXIS,),
+        "w2": (MODEL_AXIS, None),                 # row-parallel hidden
+        "b2": (None,),
+    }
+
+    def tp_block_fn(p, xv):
+        # runs inside the pipeline's shard_map: leaves are tp-local
+        h_loc = p["wqkv"].shape[2]
+        xf = xv.astype(jnp.float32)
+        xn = _ln_f32(
+            xf, p["ln1_s"].astype(jnp.float32), p["ln1_b"].astype(jnp.float32), eps
+        ).astype(dtype)
+        wqkv = p["wqkv"].astype(dtype).reshape(dim, 3 * h_loc * dh)
+        qkv = jnp.einsum(
+            "bnd,df->bnf", xn, wqkv, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(t.shape[0], t.shape[1], h_loc, dh).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        s = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if true_tokens is not None and true_tokens != xv.shape[1]:
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+            s = jnp.where(col_ids < true_tokens, s, -1e30)
+        prob = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhij,bhjd->bhid", prob.astype(v.dtype), v)
+        o = o.transpose(0, 2, 1, 3).reshape(xv.shape[0], xv.shape[1], h_loc * dh)
+        partial = jnp.einsum(
+            "bnf,fd->bnd", o.astype(dtype),
+            p["wout"].astype(dtype).reshape(h_loc * dh, dim),
+            preferred_element_type=jnp.float32,
+        )
+        out = jax.lax.psum(partial, MODEL_AXIS)  # row-parallel reduce
+        mid = (out + p["bout"].astype(jnp.float32) + xf).astype(xv.dtype)
+
+        midf = mid.astype(jnp.float32)
+        xn2 = _ln_f32(
+            midf, p["ln2_s"].astype(jnp.float32), p["ln2_b"].astype(jnp.float32), eps
+        ).astype(dtype)
+        h1 = jnp.einsum(
+            "bnd,df->bnf", xn2, p["w1"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        h1 = _activate(h1 + p["b1"].astype(jnp.float32), model.activation)
+        h1 = h1.astype(dtype)
+        partial2 = jnp.einsum(
+            "bnf,fd->bnd", h1, p["w2"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out2 = jax.lax.psum(partial2, MODEL_AXIS)
+        return (out2 + p["b2"].astype(jnp.float32) + midf).astype(xv.dtype)
+
+    x = spmd_pipeline(
+        tp_block_fn, tp_params, x, mesh, n_micro=n_micro, param_specs=tp_specs
     )
-    return nn.Dense(model.num_classes, dtype=jnp.float32).apply(
-        {"params": params["head"]}, x
-    )
+    return _vit_head(model, params, x, n)
