@@ -1,6 +1,6 @@
-import os, sys, time
+import os, sys
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/scripts")
-import jax, jax.numpy as jnp, numpy as np
+import jax, jax.numpy as jnp
 from r3util import probe_ms
 from vit_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
@@ -9,10 +9,6 @@ from vit_tpu.models import CrossViT, PatchMergerViT
 
 BATCH, ITERS = 128, 10
 from r3util import timed_batch
-
-
-def timed(fn, *a):
-    return timed_batch(fn, *a, iters=ITERS)
 
 cfgs = {
   "cross_vit": (CrossViT, dict(image_size=256, num_classes=1000, depth=4,
@@ -28,12 +24,12 @@ for name, (cls, kw, sz) in cfgs.items():
     img = jax.random.normal(jax.random.PRNGKey(0), (BATCH, sz, sz, 3), jnp.float32)
     v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(1)}, img[:1]))()
     f_pack = jax.jit(lambda p, x: model.apply(p, x))
-    dt = timed(f_pack, v, img)
+    dt = timed_batch(f_pack, v, img, iters=ITERS)
     print(f"{name:13s} packed   {dt*1e3:7.2f} ms  {BATCH/dt:8.1f} img/s", flush=True)
     os.environ["VIT_TPU_NO_PACK"] = "1"
     try:
         f_nopack = jax.jit(lambda p, x: model.apply(p, x) + 0)
-        dt = timed(f_nopack, v, img)
+        dt = timed_batch(f_nopack, v, img, iters=ITERS)
         print(f"{name:13s} unpacked {dt*1e3:7.2f} ms  {BATCH/dt:8.1f} img/s", flush=True)
     finally:
         os.environ.pop("VIT_TPU_NO_PACK", None)

@@ -85,10 +85,6 @@ def timed_batch(fn, *args, iters=10):
     environment's tunneled backend — see bench.py's timing notes). Returns
     seconds per call. The shared form of the helper the round-4 tuning
     scripts each carried locally."""
-    import time
-
-    import numpy as np
-
     np.asarray(fn(*args))
     np.asarray(fn(*args))
     t0 = time.perf_counter()

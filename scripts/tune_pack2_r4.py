@@ -13,7 +13,6 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/tune_pack2_r4.py
 """
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
@@ -28,10 +27,6 @@ BATCH, ITERS = 128, 10
 
 
 from r3util import timed_batch
-
-
-def timed(fn, *args):
-    return timed_batch(fn, *args, iters=ITERS)
 
 
 def main():
@@ -74,13 +69,13 @@ def main():
     import os
 
     fn = jax.jit(lambda v, im: model.apply(v, im))
-    dt = timed(fn, variables, img)  # packed (auto)
+    dt = timed_batch(fn, variables, img)  # packed (auto)
     print(f"packed  {dt * 1e3:7.2f} ms/batch  {BATCH / dt:8.1f} img/s", flush=True)
     lp = np.asarray(fn(variables, img[:8]))
     os.environ["VIT_TPU_NO_PACK"] = "1"
     try:
         fn_u = jax.jit(lambda v, im: model.apply(v, im) + 0)  # distinct cache key
-        dt_u = timed(fn_u, variables, img)
+        dt_u = timed_batch(fn_u, variables, img)
         print(f"pad-80  {dt_u * 1e3:7.2f} ms/batch  {BATCH / dt_u:8.1f} img/s",
               flush=True)
         lu = np.asarray(fn_u(variables, img[:8]))

@@ -49,9 +49,11 @@ def test_dryrun_multichip_fresh_subprocess():
     )
     assert "dryrun_multichip ok [dp tp pp 3d sp ep]" in result.stdout
     # every parallelism axis reports in the one consolidated run (VERDICT
-    # r3 item 3: no env-var rotation — dp/tp/pp/sp/ep in a single artifact)
+    # r3 item 3: no env-var rotation — dp/tp/pp/3d/sp/ep in a single
+    # artifact; the banner is built from the legs that RAN, so a silently
+    # skipped leg changes it and fails the line above)
     for leg in ("dp_tp[vit]", "dp_tp[crossformer]", "dp_tp[cvt]",
-                "pp mesh=", "sp ring=8", "ep experts=4@model"):
+                "pp mesh=", "3d mesh=", "sp ring=8", "ep experts=4@model"):
         assert leg in result.stdout, leg
 
 

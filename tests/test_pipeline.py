@@ -145,7 +145,19 @@ def test_pipeline3d_dp_pp_tp_matches_single_device():
 
     hlo = fn.lower(variables, img).compile().as_text()
     assert "collective-permute" in hlo  # pipe handoff
-    assert "all-reduce" in hlo          # tp row-parallel psum
+    # "all-reduce in hlo" alone is vacuous — the GPipe output psum over
+    # `pipe` is one all-reduce in EVERY pipelined program (verified: the
+    # tp-free pipeline_vit_apply HLO contains it too). The two Megatron
+    # psums over `model` inside the tick scan push the 3D program to >= 3.
+    tp_free = jax.jit(
+        lambda v, im: pipeline_vit_apply(
+            MODEL, v, im, make_pipeline_mesh(n_pipe=2, n_data=2), n_micro=2
+        )
+    )
+    base = tp_free.lower(variables, img).compile().as_text().count("all-reduce")
+    assert hlo.count("all-reduce") > base >= 1, (
+        hlo.count("all-reduce"), base
+    )
 
 
 def test_pipeline3d_head_sharding_is_whole_heads():

@@ -109,8 +109,7 @@ class InferencePipeline:
             # sharded batches must stay divisible by the data axis, which
             # the DEFAULT bucket derivation (down to 1) can't promise —
             # keep the single fixed-batch program. An explicit
-            # batch_buckets list is honored as given: the caller owns
-            # mesh divisibility.
+            # batch_buckets list is honored as given (validated below).
             batch_buckets = [batch_size]
         elif batch_buckets is None:
             batch_buckets = []
@@ -119,6 +118,18 @@ class InferencePipeline:
                 batch_buckets.append(b)
                 b //= 4
         self.batch_buckets = sorted(set(int(b) for b in batch_buckets) | {batch_size})
+        if mesh is not None:
+            from vit_tpu.parallel.mesh import DATA_AXIS as _DA
+
+            n_data = mesh.shape.get(_DA, 1)
+            bad = [b for b in self.batch_buckets if b % n_data]
+            if bad:
+                # fail at construction, not as a GSPMD sharding error on
+                # the first small request mid-traffic
+                raise ValueError(
+                    f"batch_buckets {bad} not divisible by the '{_DA}' "
+                    f"mesh axis ({n_data})"
+                )
 
         # apply_fn(variables, x) overrides the forward — e.g. the int8
         # path: InferencePipeline(model, qvars, apply_fn=lambda v, x:
