@@ -361,3 +361,64 @@ def test_hybrid_mesh_keeps_model_groups_inside_a_slice():
     step = make_train_step(MODEL)
     state, loss = step(state, shard_batch(img, mesh), shard_batch(labels, mesh))
     assert np.isfinite(float(loss))
+
+
+def test_ring_attention_masks_padded_columns():
+    """true_n masks padded global key columns in-ring, including pad tails
+    that span WHOLE shards (n=24 over 8 shards with true_n=17: shard 5 is
+    partially masked, shards 6-7 fully — the finite -1e30 mask keeps the
+    online-softmax rescale NaN-free). Real rows must equal single-device
+    attention over just the real keys."""
+    from vit_tpu.ops import reference_attention
+    from vit_tpu.parallel import ring_attention
+    from vit_tpu.parallel.mesh import make_mesh
+
+    b, h, n, d, true_n = 2, 2, 24, 16, 17
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+    mesh = make_mesh(n_data=8, n_model=1)
+    out = ring_attention(q, k, v, mesh, true_n=true_n)
+    ref = reference_attention(q[:, :, :true_n], k[:, :, :true_n], v[:, :, :true_n])
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, :true_n], np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_ring_vit_apply_matches_single_device():
+    """Sequence parallelism composed into the full model: the token axis
+    stays sharded through LN/qkv/MLP (zero comm) and crosses shards only
+    via the ring (ppermute in HLO). Logits AND gradients match the
+    single-device apply; n=17 pads to 24 so two shards carry only pad."""
+    from vit_tpu.models import ViT
+    from vit_tpu.parallel import ring_vit_apply
+    from vit_tpu.parallel.mesh import make_mesh
+
+    model = ViT(image_size=32, patch_size=8, num_classes=10, dim=64,
+                depth=3, heads=4, mlp_dim=128, dim_head=16)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, img)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    fn = jax.jit(lambda p, im: ring_vit_apply(model, p, im, mesh))
+    out = fn(variables, img)
+    ref = model.apply(variables, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    assert "collective-permute" in fn.lower(variables, img).compile().as_text()
+
+    def nll(apply_fn, p, im):
+        return -jnp.mean(jax.nn.log_softmax(apply_fn(p, im))[:, 0])
+
+    g_sp = jax.jit(jax.grad(
+        lambda p, im: nll(lambda p_, im_: ring_vit_apply(model, p_, im_, mesh), p, im)
+    ))(variables, img)
+    g_1d = jax.jit(jax.grad(
+        lambda p, im: nll(model.apply, p, im)
+    ))(variables, img)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        ),
+        g_sp, g_1d,
+    )

@@ -7,7 +7,10 @@ from vit_tpu.parallel.pipeline import (  # noqa: F401
     pipeline_vit_apply,
     spmd_pipeline,
 )
-from vit_tpu.parallel.ring_attention import ring_attention  # noqa: F401
+from vit_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention,
+    ring_vit_apply,
+)
 from vit_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,

@@ -34,15 +34,24 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _local_pass(q, k_blk, v_blk, scale, precision=None):
+def _local_pass(q, k_blk, v_blk, scale, col0=None, true_n=None):
     """One ring step's local contribution: unnormalized PV plus the
     per-row (max, sumexp) statistics needed for the global rescale.
+
+    ``col0``/``true_n``: when the global sequence is padded (a padded-
+    stream caller like ``ring_vit_apply``), global key columns
+    ``col0 + j >= true_n`` are masked to -1e30 BEFORE the max — finite, so
+    a fully-masked block (the pad tail can span whole shards) contributes
+    exp(-1e30 - m) = 0 instead of inf-inf NaNs in the rescale.
 
     Returns fp32 (m, l, pv): m = rowmax(s), l = rowsum(exp(s - m)),
     pv = exp(s - m) @ v."""
     s = jnp.einsum(
         "bhid,bhjd->bhij", q, k_blk, preferred_element_type=jnp.float32
     ) * scale
+    if true_n is not None:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3) + col0
+        s = jnp.where(col_ids < true_n, s, -1e30)
     m = jnp.max(s, axis=-1)  # (b, h, nq)
     p = jnp.exp(s - m[..., None])
     l = jnp.sum(p, axis=-1)
@@ -61,37 +70,55 @@ def ring_attention(
     *,
     axis_name: str = "data",
     scale: Optional[float] = None,
+    true_n: Optional[int] = None,
 ) -> jax.Array:
     """Sequence-parallel attention: ``[B, H, N, D]`` in/out, with the N axis
     sharded over ``axis_name`` of ``mesh``.
 
     ``N`` must divide by the axis size. Inputs may be unsharded host
     arrays (the returned jitted computation shards them) or already placed
-    with ``P(None, None, axis_name)`` on the sequence dim.
+    with ``P(None, None, axis_name)`` on the sequence dim. ``true_n``
+    masks padded global key columns (cols >= true_n) out of every ring
+    step's softmax — the padded-stream contract the other attention
+    backends share.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     p_devices = mesh.shape[axis_name]
     n = q.shape[2]
     assert n % p_devices == 0, f"sequence {n} must divide ring size {p_devices}"
-    return _ring_fn(mesh, axis_name, float(scale))(q, k, v)
+    if true_n is not None and true_n == n:
+        true_n = None
+    return _ring_fn(mesh, axis_name, float(scale), n, true_n)(q, k, v)
 
 
 @functools.lru_cache(maxsize=None)
-def _ring_fn(mesh: Mesh, axis_name: str, scale: float):
-    """Build-and-jit once per (mesh, axis, scale): a fresh jit closure per
-    call would defeat the executable cache and recompile the whole sharded
-    program every invocation (shapes still key the jit cache as usual)."""
+def _ring_fn(mesh: Mesh, axis_name: str, scale: float, n: int, true_n):
+    """Build-and-jit once per (mesh, axis, scale, n, true_n): a fresh jit
+    closure per call would defeat the executable cache and recompile the
+    whole sharded program every invocation (shapes still key the jit cache
+    as usual)."""
     p_devices = mesh.shape[axis_name]
+    n_loc = n // p_devices
 
     def per_device(q_loc, k_loc, v_loc):
         # ring neighbor rotation: shard j -> device j+1 (mod P); after step
-        # i this device holds the K/V shard that started i hops behind it.
+        # i this device holds the K/V shard that started i hops behind it,
+        # i.e. the block whose global columns begin at
+        # ((sid - i) mod P) * n_loc — the offset the pad mask needs.
         perm = [(j, (j + 1) % p_devices) for j in range(p_devices)]
+        sid = jax.lax.axis_index(axis_name)
 
-        def body(carry, _):
+        def col0_at(i):
+            if true_n is None:
+                return None
+            return jnp.mod(sid - i, p_devices) * n_loc
+
+        def body(carry, i):
             m, l, acc, k_blk, v_blk = carry
-            m_i, l_i, pv_i = _local_pass(q_loc, k_blk, v_blk, scale)
+            m_i, l_i, pv_i = _local_pass(
+                q_loc, k_blk, v_blk, scale, col0_at(i), true_n
+            )
             m_new = jnp.maximum(m, m_i)
             a_old = jnp.exp(m - m_new)
             a_new = jnp.exp(m_i - m_new)
@@ -104,7 +131,9 @@ def _ring_fn(mesh: Mesh, axis_name: str, scale: float):
         b, h, nq_loc, _ = q_loc.shape
         dv = v_loc.shape[-1]
         carry = (
-            jnp.full((b, h, nq_loc), -jnp.inf, jnp.float32),
+            # -1e30 (finite), not -inf: a fully-masked pad block otherwise
+            # produces inf-inf NaNs in the rescale
+            jnp.full((b, h, nq_loc), -1e30, jnp.float32),
             jnp.zeros((b, h, nq_loc), jnp.float32),
             jnp.zeros((b, h, nq_loc, dv), jnp.float32),
             k_loc,
@@ -116,9 +145,11 @@ def _ring_fn(mesh: Mesh, axis_name: str, scale: float):
         # contracted outside the scan: its rotation result would be
         # discarded, so 2*(P-1) permutes suffice, not 2*P.
         (m, l, acc, k_blk, v_blk), _ = jax.lax.scan(
-            body, carry, None, length=p_devices - 1
+            body, carry, jnp.arange(p_devices - 1)
         )
-        m_i, l_i, pv_i = _local_pass(q_loc, k_blk, v_blk, scale)
+        m_i, l_i, pv_i = _local_pass(
+            q_loc, k_blk, v_blk, scale, col0_at(p_devices - 1), true_n
+        )
         m_new = jnp.maximum(m, m_i)
         a_old = jnp.exp(m - m_new)
         a_new = jnp.exp(m_i - m_new)
@@ -135,3 +166,126 @@ def _ring_fn(mesh: Mesh, axis_name: str, scale: float):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def ring_vit_apply(
+    model,
+    variables,
+    img: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Sequence-parallel ViT forward: the TOKEN axis sharded over
+    ``axis_name`` through the whole encoder.
+
+    Everything row-wise — LayerNorm, the qkv/out projections, the MLP —
+    is token-local (zero communication: weights replicate, the token dim
+    shards); only attention crosses shards, via the ring above (P-1
+    neighbor ppermutes per layer, never an all-gather of K/V). The stream
+    pads once to a multiple of lcm(sublane tile, ring size) with padded
+    key columns masked in-ring (``true_n``), mirroring the padded-stream
+    contract of the single-chip kernels. Zoo sequences fit one chip; this
+    is the composition surface for sequences past single-chip HBM —
+    activations per device scale as N/P.
+
+    Plain raw-param ViT only (the flagship substrate, like
+    ``pipeline_vit_apply``); logits match the single-device
+    ``model.apply`` (tests/test_parallel.py).
+    """
+    import math
+
+    from jax.sharding import NamedSharding
+
+    from vit_tpu.nn.blocks import _activate
+    from vit_tpu.ops.block_attention import _ln_f32
+    from vit_tpu.parallel.pipeline import _vit_head
+
+    if model.qkv_bias:
+        raise ValueError(
+            "ring_vit_apply shards the raw-param attention layout; "
+            "qkv_bias (flax-submodule) ViTs aren't supported here"
+        )
+    from vit_tpu.core.utils import pair
+    from vit_tpu.nn.embed import PatchEmbed
+
+    params = variables["params"]
+    p_ring = mesh.shape[axis_name]
+
+    ph, _ = pair(model.patch_size)
+    x = PatchEmbed(
+        model.dim, ph, dtype=model.dtype,
+        out_dtype=model.residual_dtype or model.dtype,
+    ).apply({"params": params["patch_embed"]}, img)
+    b = x.shape[0]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(params["cls"].astype(x.dtype), (b, 1, model.dim)), x],
+        axis=1,
+    )
+    x = x + params["pos_embedding"].astype(x.dtype)
+
+    n = x.shape[1]
+    sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
+    quantum = math.lcm(sublanes, p_ring)
+    n_pad = -(-n // quantum) * quantum
+    true_n = None
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        true_n = n
+    # pin the token axis sharded: every row-wise op below stays local
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, axis_name, None))
+    )
+
+    blocks = params["encoder"]["blocks"]
+    attn, ff = blocks["attn"], blocks["ff"]
+    dtype = model.dtype or x.dtype
+    heads, dh, dim = model.heads, model.dim_head, model.dim
+    eps = model.norm_eps
+    scale = dh**-0.5
+
+    stacked = {
+        "ln1_s": attn["norm_scale"], "ln1_b": attn["norm_bias"],
+        "wqkv": attn["qkv_kernel"], "wout": attn["out_kernel"],
+        "bout": attn["out_bias"],
+        "ln2_s": ff["ln_scale"], "ln2_b": ff["ln_bias"],
+        "w1": ff["w1"], "b1": ff["b1"], "w2": ff["w2"], "b2": ff["b2"],
+    }
+
+    def layer(xv, p):
+        xf = xv.astype(jnp.float32)
+        xn = _ln_f32(
+            xf, p["ln1_s"].astype(jnp.float32), p["ln1_b"].astype(jnp.float32), eps
+        ).astype(dtype)
+        qkv = jnp.einsum(
+            "bnd,df->bnf", xn, p["wqkv"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(b, n_pad, heads, dh).transpose(0, 2, 1, 3)
+        o = ring_attention(
+            split(q), split(k), split(v), mesh,
+            axis_name=axis_name, scale=scale, true_n=true_n,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, n_pad, heads * dh)
+        out = jnp.einsum(
+            "bnf,fd->bnd", o.astype(dtype), p["wout"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        mid = out + p["bout"].astype(jnp.float32) + xf
+        xn2 = _ln_f32(
+            mid, p["ln2_s"].astype(jnp.float32), p["ln2_b"].astype(jnp.float32), eps
+        ).astype(dtype)
+        h1 = jnp.einsum(
+            "bnd,df->bnf", xn2, p["w1"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        h1 = _activate(h1 + p["b1"].astype(jnp.float32), model.activation)
+        out2 = jnp.einsum(
+            "bnf,fd->bnd", h1.astype(dtype), p["w2"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (out2 + p["b2"].astype(jnp.float32) + mid).astype(xv.dtype), None
+
+    x, _ = jax.lax.scan(layer, x, stacked)
+    return _vit_head(model, params, x, n)
