@@ -2,6 +2,7 @@ from vit_tpu.parallel.api import data_parallel_apply  # noqa: F401
 from vit_tpu.parallel.pipeline import (  # noqa: F401
     PIPE_AXIS,
     make_pipeline3d_mesh,
+    make_pipeline3d_train_step,
     make_pipeline_mesh,
     pipeline_tp_vit_apply,
     pipeline_vit_apply,

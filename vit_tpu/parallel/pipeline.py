@@ -414,3 +414,44 @@ def pipeline_tp_vit_apply(
         tp_block_fn, tp_params, x, mesh, n_micro=n_micro, param_specs=tp_specs
     )
     return _vit_head(model, params, x, n)
+
+
+def make_pipeline3d_train_step(
+    model,
+    mesh: Mesh,
+    optimizer=None,
+    *,
+    n_micro: Optional[int] = None,
+) -> Callable:
+    """Jitted ``step(state, images, labels) -> (state, loss)`` training
+    through the 3D forward above.
+
+    Params stay replicated at rest (build the state with
+    ``create_train_state(model, rng, sample, mesh=None)``);
+    ``pipeline_tp_vit_apply`` shards them per-leaf inside its shard_map,
+    whose transpose both sums the tp-sharded gradient contributions and
+    reduces across the data axis — ``jax.grad`` straight through is the
+    full data+tensor+pipeline-parallel backward (gradients match the
+    single-device step, tests/test_pipeline.py)."""
+    import optax
+
+    from vit_tpu.train import TrainState, cross_entropy_loss, make_optimizer
+
+    optimizer = optimizer or make_optimizer()
+
+    def step(state: TrainState, images: jax.Array, labels: jax.Array):
+        def loss_fn(params):
+            logits = pipeline_tp_vit_apply(
+                model, {"params": params}, images, mesh, n_micro=n_micro
+            )
+            return cross_entropy_loss(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1, state.model_state),
+            loss,
+        )
+
+    return jax.jit(step)
