@@ -405,7 +405,35 @@ def test_ring_vit_apply_matches_single_device():
     ref = model.apply(variables, img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
-    assert "collective-permute" in fn.lower(variables, img).compile().as_text()
+    hlo = fn.lower(variables, img).compile().as_text()
+    assert "collective-permute" in hlo
+
+    # "no all-gather of K/V / row-wise ops zero-comm": any gathers must be
+    # head-only constants, so their count must NOT grow with depth — a lost
+    # sharding constraint would gather the token axis once per layer
+    deep = ViT(image_size=32, patch_size=8, num_classes=10, dim=64,
+               depth=6, heads=4, mlp_dim=128, dim_head=16)
+    v6 = deep.init({"params": jax.random.PRNGKey(1)}, img)
+    hlo6 = jax.jit(
+        lambda p, im: ring_vit_apply(deep, p, im, mesh)
+    ).lower(v6, img).compile().as_text()
+    assert hlo6.count("all-gather") == hlo.count("all-gather"), (
+        hlo.count("all-gather"), hlo6.count("all-gather")
+    )
+
+    # bf16 stream: the shared raw_block_apply epilogue rounds the attention
+    # residual to the stream dtype exactly like the fused kernel, so the
+    # bf16 config tracks model.apply within bf16 accumulation noise
+    bf16 = ViT(image_size=32, patch_size=8, num_classes=10, dim=64,
+               depth=3, heads=4, mlp_dim=128, dim_head=16,
+               dtype=jnp.bfloat16)
+    vb = bf16.init({"params": jax.random.PRNGKey(1)}, img)
+    out_b = jax.jit(lambda p, im: ring_vit_apply(bf16, p, im, mesh))(vb, img)
+    ref_b = bf16.apply(vb, img)
+    np.testing.assert_allclose(
+        np.asarray(out_b, np.float32), np.asarray(ref_b, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
 
     def nll(apply_fn, p, im):
         return -jnp.mean(jax.nn.log_softmax(apply_fn(p, im))[:, 0])

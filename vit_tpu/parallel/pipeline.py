@@ -201,12 +201,16 @@ def spmd_pipeline(
     return out.reshape((b,) + x.shape[1:])
 
 
-def _vit_embed_and_pad(model, params, img):
-    """Shared ViT prologue for the pipelined applies: patch embed, cls/pos,
+def _vit_embed_and_pad(model, params, img, pad_multiple: int = 1):
+    """Shared ViT prologue for the parallel applies: patch embed, cls/pos,
     and the encoder's one-time sublane pad (mirrors models/vit.py:48-79 and
     Transformer.auto_pad's guard — the qkv-bias flax attention path doesn't
     mask padded key columns, so HF/timm-imported ViTs run unpadded here
-    too). Returns ``(x, n, true_tokens)``."""
+    too). ``pad_multiple``: extra divisibility the caller needs on top of
+    the sublane tile (the sp ring pads to lcm(sublanes, ring size)).
+    Returns ``(x, n, true_tokens)``."""
+    import math
+
     from vit_tpu.core.utils import pair
     from vit_tpu.nn.embed import PatchEmbed
 
@@ -226,11 +230,51 @@ def _vit_embed_and_pad(model, params, img):
     true_tokens = None
     if not model.qkv_bias:
         sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
-        n_pad = -(-n // sublanes) * sublanes
+        quantum = math.lcm(sublanes, pad_multiple)
+        n_pad = -(-n // quantum) * quantum
         if n_pad != n:
             x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
             true_tokens = n
     return x, n, true_tokens
+
+
+def raw_block_apply(p, xv, *, attn_fn, reduce_fn, dtype, eps, activation):
+    """One raw-param encoder block — LN → attention → +residual → LN →
+    MLP → +residual — with the SAME op order and rounding points as the
+    fused single-chip kernel (ops/block_attention.py: fp32 LN/epilogues,
+    the attention residual rounds to the stream dtype BEFORE the FF
+    LayerNorm). Shared by the tensor-parallel pipeline block and the
+    sequence-parallel ring block so their epilogues cannot drift.
+
+    ``attn_fn(xn, p) -> fp32 pre-bias attention output`` owns the
+    attention math (tp: local heads + partial out GEMM; sp: the K/V
+    ring). ``reduce_fn`` is the row-parallel reduction applied to the
+    attention output AND the second MLP GEMM (``lax.psum`` over the model
+    axis for tp; identity otherwise) — biases and residuals are added
+    after it, on replicated values."""
+    from vit_tpu.nn.blocks import _activate
+    from vit_tpu.ops.block_attention import _ln_f32
+
+    xf = xv.astype(jnp.float32)
+    xn = _ln_f32(
+        xf, p["ln1_s"].astype(jnp.float32), p["ln1_b"].astype(jnp.float32), eps
+    ).astype(dtype)
+    out = reduce_fn(attn_fn(xn, p))
+    mid = (out + p["bout"].astype(jnp.float32) + xf).astype(xv.dtype)
+    midf = mid.astype(jnp.float32)
+    xn2 = _ln_f32(
+        midf, p["ln2_s"].astype(jnp.float32), p["ln2_b"].astype(jnp.float32), eps
+    ).astype(dtype)
+    h1 = jnp.einsum(
+        "bnd,df->bnf", xn2, p["w1"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    h1 = _activate(h1 + p["b1"].astype(jnp.float32), activation).astype(dtype)
+    out2 = reduce_fn(jnp.einsum(
+        "bnf,fd->bnd", h1, p["w2"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    ))
+    return (out2 + p["b2"].astype(jnp.float32) + midf).astype(xv.dtype)
 
 
 def _vit_head(model, params, x, n):
@@ -313,9 +357,6 @@ def pipeline_tp_vit_apply(
     ``pipe``. Requires ``heads`` and ``mlp_dim`` divisible by the model-
     axis size.
     """
-    from vit_tpu.nn.blocks import _activate
-    from vit_tpu.ops.block_attention import _ln_f32
-
     params = variables["params"]
     n_model = mesh.shape[MODEL_AXIS]
     if model.heads % n_model or model.mlp_dim % n_model:
@@ -362,13 +403,10 @@ def pipeline_tp_vit_apply(
         "b2": (None,),
     }
 
-    def tp_block_fn(p, xv):
-        # runs inside the pipeline's shard_map: leaves are tp-local
+    def tp_attn(xn, p):
+        # local heads + PARTIAL out GEMM (fp32, pre-bias); raw_block_apply's
+        # reduce_fn (psum over `model`) completes the row-parallel sum
         h_loc = p["wqkv"].shape[2]
-        xf = xv.astype(jnp.float32)
-        xn = _ln_f32(
-            xf, p["ln1_s"].astype(jnp.float32), p["ln1_b"].astype(jnp.float32), eps
-        ).astype(dtype)
         wqkv = p["wqkv"].astype(dtype).reshape(dim, 3 * h_loc * dh)
         qkv = jnp.einsum(
             "bnd,df->bnf", xn, wqkv, preferred_element_type=jnp.float32
@@ -379,36 +417,25 @@ def pipeline_tp_vit_apply(
         s = jnp.einsum(
             "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
         ) * scale
-        if true_tokens is not None and true_tokens != xv.shape[1]:
+        if true_tokens is not None and true_tokens != xn.shape[1]:
             col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
             s = jnp.where(col_ids < true_tokens, s, -1e30)
         prob = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("bhij,bhjd->bhid", prob.astype(v.dtype), v)
-        o = o.transpose(0, 2, 1, 3).reshape(xv.shape[0], xv.shape[1], h_loc * dh)
-        partial = jnp.einsum(
+        o = o.transpose(0, 2, 1, 3).reshape(xn.shape[0], xn.shape[1], h_loc * dh)
+        return jnp.einsum(
             "bnf,fd->bnd", o.astype(dtype),
             p["wout"].astype(dtype).reshape(h_loc * dh, dim),
             preferred_element_type=jnp.float32,
         )
-        out = jax.lax.psum(partial, MODEL_AXIS)  # row-parallel reduce
-        mid = (out + p["bout"].astype(jnp.float32) + xf).astype(xv.dtype)
 
-        midf = mid.astype(jnp.float32)
-        xn2 = _ln_f32(
-            midf, p["ln2_s"].astype(jnp.float32), p["ln2_b"].astype(jnp.float32), eps
-        ).astype(dtype)
-        h1 = jnp.einsum(
-            "bnd,df->bnf", xn2, p["w1"].astype(dtype),
-            preferred_element_type=jnp.float32,
+    def tp_block_fn(p, xv):
+        # runs inside the pipeline's shard_map: leaves are tp-local
+        return raw_block_apply(
+            p, xv, attn_fn=tp_attn,
+            reduce_fn=lambda t: jax.lax.psum(t, MODEL_AXIS),
+            dtype=dtype, eps=eps, activation=model.activation,
         )
-        h1 = _activate(h1 + p["b1"].astype(jnp.float32), model.activation)
-        h1 = h1.astype(dtype)
-        partial2 = jnp.einsum(
-            "bnf,fd->bnd", h1, p["w2"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        out2 = jax.lax.psum(partial2, MODEL_AXIS)
-        return (out2 + p["b2"].astype(jnp.float32) + midf).astype(xv.dtype)
 
     x = spmd_pipeline(
         tp_block_fn, tp_params, x, mesh, n_micro=n_micro, param_specs=tp_specs

@@ -89,19 +89,19 @@ def ring_attention(
     assert n % p_devices == 0, f"sequence {n} must divide ring size {p_devices}"
     if true_n is not None and true_n == n:
         true_n = None
-    return _ring_fn(mesh, axis_name, float(scale), n, true_n)(q, k, v)
+    return _ring_fn(mesh, axis_name, float(scale), true_n)(q, k, v)
 
 
 @functools.lru_cache(maxsize=None)
-def _ring_fn(mesh: Mesh, axis_name: str, scale: float, n: int, true_n):
-    """Build-and-jit once per (mesh, axis, scale, n, true_n): a fresh jit
+def _ring_fn(mesh: Mesh, axis_name: str, scale: float, true_n):
+    """Build-and-jit once per (mesh, axis, scale, true_n): a fresh jit
     closure per call would defeat the executable cache and recompile the
-    whole sharded program every invocation (shapes still key the jit cache
-    as usual)."""
+    whole sharded program every invocation (shapes key the jit cache as
+    usual — the local shard width comes from the traced shapes)."""
     p_devices = mesh.shape[axis_name]
-    n_loc = n // p_devices
 
     def per_device(q_loc, k_loc, v_loc):
+        n_loc = q_loc.shape[2]
         # ring neighbor rotation: shard j -> device j+1 (mod P); after step
         # i this device holds the K/V shard that started i hops behind it,
         # i.e. the block whose global columns begin at
@@ -193,45 +193,24 @@ def ring_vit_apply(
     ``pipeline_vit_apply``); logits match the single-device
     ``model.apply`` (tests/test_parallel.py).
     """
-    import math
-
     from jax.sharding import NamedSharding
 
-    from vit_tpu.nn.blocks import _activate
-    from vit_tpu.ops.block_attention import _ln_f32
-    from vit_tpu.parallel.pipeline import _vit_head
+    from vit_tpu.parallel.pipeline import (
+        _vit_embed_and_pad,
+        _vit_head,
+        raw_block_apply,
+    )
 
     if model.qkv_bias:
         raise ValueError(
             "ring_vit_apply shards the raw-param attention layout; "
             "qkv_bias (flax-submodule) ViTs aren't supported here"
         )
-    from vit_tpu.core.utils import pair
-    from vit_tpu.nn.embed import PatchEmbed
 
     params = variables["params"]
     p_ring = mesh.shape[axis_name]
-
-    ph, _ = pair(model.patch_size)
-    x = PatchEmbed(
-        model.dim, ph, dtype=model.dtype,
-        out_dtype=model.residual_dtype or model.dtype,
-    ).apply({"params": params["patch_embed"]}, img)
-    b = x.shape[0]
-    x = jnp.concatenate(
-        [jnp.broadcast_to(params["cls"].astype(x.dtype), (b, 1, model.dim)), x],
-        axis=1,
-    )
-    x = x + params["pos_embedding"].astype(x.dtype)
-
-    n = x.shape[1]
-    sublanes = 16 if jnp.dtype(x.dtype).itemsize < 4 else 8
-    quantum = math.lcm(sublanes, p_ring)
-    n_pad = -(-n // quantum) * quantum
-    true_n = None
-    if n_pad != n:
-        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-        true_n = n
+    x, n, true_n = _vit_embed_and_pad(model, params, img, pad_multiple=p_ring)
+    b, n_pad = x.shape[0], x.shape[1]
     # pin the token axis sharded: every row-wise op below stays local
     x = jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(None, axis_name, None))
@@ -252,11 +231,10 @@ def ring_vit_apply(
         "w1": ff["w1"], "b1": ff["b1"], "w2": ff["w2"], "b2": ff["b2"],
     }
 
-    def layer(xv, p):
-        xf = xv.astype(jnp.float32)
-        xn = _ln_f32(
-            xf, p["ln1_s"].astype(jnp.float32), p["ln1_b"].astype(jnp.float32), eps
-        ).astype(dtype)
+    def ring_attn(xn, p):
+        # qkv -> the K/V ring -> out GEMM (fp32, pre-bias); the shared
+        # raw_block_apply epilogue supplies the residual/LN/MLP with the
+        # same rounding points as the fused single-chip kernel
         qkv = jnp.einsum(
             "bnd,df->bnf", xn, p["wqkv"].astype(dtype),
             preferred_element_type=jnp.float32,
@@ -268,24 +246,17 @@ def ring_vit_apply(
             axis_name=axis_name, scale=scale, true_n=true_n,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, n_pad, heads * dh)
-        out = jnp.einsum(
+        return jnp.einsum(
             "bnf,fd->bnd", o.astype(dtype), p["wout"].astype(dtype),
             preferred_element_type=jnp.float32,
         )
-        mid = out + p["bout"].astype(jnp.float32) + xf
-        xn2 = _ln_f32(
-            mid, p["ln2_s"].astype(jnp.float32), p["ln2_b"].astype(jnp.float32), eps
-        ).astype(dtype)
-        h1 = jnp.einsum(
-            "bnd,df->bnf", xn2, p["w1"].astype(dtype),
-            preferred_element_type=jnp.float32,
+
+    def layer(xv, p):
+        out = raw_block_apply(
+            p, xv, attn_fn=ring_attn, reduce_fn=lambda t: t,
+            dtype=dtype, eps=eps, activation=model.activation,
         )
-        h1 = _activate(h1 + p["b1"].astype(jnp.float32), model.activation)
-        out2 = jnp.einsum(
-            "bnf,fd->bnd", h1.astype(dtype), p["w2"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return (out2 + p["b2"].astype(jnp.float32) + mid).astype(xv.dtype), None
+        return out, None
 
     x, _ = jax.lax.scan(layer, x, stacked)
     return _vit_head(model, params, x, n)
