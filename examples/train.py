@@ -30,9 +30,15 @@ def main():
     ap.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
     ap.add_argument("--data", default=None, help="directory of JPEGs (synthetic if unset)")
-    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="CheckpointManager run dir: step-numbered saves, "
+                         "keeps the newest 3, async")
+    ap.add_argument("--save-every", type=int, default=100,
+                    help="checkpoint cadence in steps")
     ap.add_argument("--resume", default=None, metavar="DIR",
-                    help="restore a --checkpoint-dir save and continue")
+                    help="restore the latest step from a --checkpoint-dir "
+                         "run and continue — onto THIS run's --dp/--tp mesh, "
+                         "whatever topology the save used")
     ap.add_argument("--augment", action="store_true",
                     help="in-graph flip + mixup/cutmix + label smoothing 0.1")
     ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
@@ -76,10 +82,11 @@ def main():
         from vit_tpu.data import JpegFolderDataset
 
         files = sorted(pathlib.Path(args.data).glob("*.jpg"))
-        # label = folder-order index mod classes (replace with a real label map)
+        # label = folder-order index mod classes (replace with a real label
+        # map); mesh= yields batches pre-sharded P('data') for the step
         dataset = JpegFolderDataset(
             [(str(f), i % args.classes) for i, f in enumerate(files)],
-            args.batch, size=args.image_size,
+            args.batch, size=args.image_size, mesh=mesh,
         )
         images, labels = next(iter(dataset.epoch(0)))  # shapes for init
     else:
@@ -91,13 +98,17 @@ def main():
         labels = jnp.arange(args.batch) % args.classes
 
     optimizer = make_optimizer(args.lr, name=args.optimizer, grad_clip_norm=1.0)
-    state = create_train_state(model, jax.random.PRNGKey(1), images[:1],
-                               optimizer=optimizer, mesh=mesh)
     if args.resume:
-        from vit_tpu.utils.checkpoint import restore_checkpoint
+        # cross-topology resume: the abstract target carries THIS run's
+        # mesh shardings, so a save from any dp x tp layout re-lands here
+        from vit_tpu.utils.checkpoint import CheckpointManager, abstract_train_state
 
-        state = restore_checkpoint(args.resume, state)
+        target = abstract_train_state(model, images[:1], optimizer, mesh=mesh)
+        state = CheckpointManager(args.resume).restore(target=target)
         print(f"resumed from {args.resume} at step {int(state.step)}")
+    else:
+        state = create_train_state(model, jax.random.PRNGKey(1), images[:1],
+                                   optimizer=optimizer, mesh=mesh)
 
     augment_fn = None
     if args.augment:
@@ -125,16 +136,22 @@ def main():
         labels = shard_batch(labels, mesh)
 
     if dataset is not None:
-        # shuffled epochs, background decode, device prefetch
+        # shuffled epochs, background decode, device prefetch; batches
+        # arrive already sharded when a mesh is set (mesh= above)
         stream = dataset.epochs(-(-args.steps // len(dataset)))
         def next_batch():
             _, imgs, lbls = next(stream)
-            if mesh is not None:
-                imgs, lbls = shard_batch(imgs, mesh), shard_batch(lbls, mesh)
             return imgs, lbls
     else:
         def next_batch():
             return images, labels
+
+    mgr = None
+    if args.checkpoint_dir:
+        from vit_tpu.utils.checkpoint import CheckpointManager  # noqa: PLC0415
+
+        mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=3,
+                                save_interval_steps=args.save_every)
 
     t0 = time.perf_counter()
     for i in range(args.steps):
@@ -147,15 +164,19 @@ def main():
             t0 = time.perf_counter()
         if (i + 1) % 5 == 0:
             print(f"step {i + 1}: loss {float(loss):.4f}")
+        if mgr is not None:
+            # device->host copy here; serialization overlaps the next steps
+            mgr.save(int(state.step), state, metrics={"loss": float(loss)})
     np.asarray(loss)
     dt = (time.perf_counter() - t0) / max(1, args.steps - 1)
     print(f"{args.batch / dt:.1f} img/s ({dt * 1e3:.1f} ms/step)")
 
-    if args.checkpoint_dir:
-        from vit_tpu.utils.checkpoint import save_checkpoint  # noqa: PLC0415
-
-        save_checkpoint(args.checkpoint_dir, state)
-        print(f"checkpoint saved to {args.checkpoint_dir}")
+    if mgr is not None:
+        mgr.save(int(state.step), state, metrics={"loss": float(loss)},
+                 force=True)  # always persist the final state
+        mgr.wait()
+        print(f"checkpoints at steps {mgr.all_steps()} in {args.checkpoint_dir}")
+        mgr.close()
 
 
 if __name__ == "__main__":

@@ -375,6 +375,29 @@ class TestJpegFolderDataset:
         assert len(rows) == 4
         assert [e for e, _, _ in rows] == [0, 0, 1, 1]
 
+    def test_mesh_shards_batches_over_data_axis(self):
+        """mesh= yields batches already laid out P('data') — the exact
+        sharding make_train_step consumes, so the step never repartitions
+        its input. Values must match the unsharded dataset bitwise."""
+        from vit_tpu.data import JpegFolderDataset
+        from vit_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+        samples = self._samples(8)
+        sharded = JpegFolderDataset(samples, batch_size=8, size=32, seed=0,
+                                    mesh=mesh, prefetch=False)
+        plain = JpegFolderDataset(samples, batch_size=8, size=32, seed=0,
+                                  prefetch=False)
+        (si, sl), (pi, pl) = next(iter(sharded.epoch(0))), next(iter(plain.epoch(0)))
+        assert si.sharding.spec == jax.sharding.PartitionSpec("data")
+        assert len(si.sharding.device_set) == 8  # 4-way split x 2-way replica
+        assert si.addressable_shards[0].data.shape[0] == 2  # 8 / n_data
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(pi))
+        np.testing.assert_array_equal(np.asarray(sl), np.asarray(pl))
+
+        with pytest.raises(ValueError):
+            JpegFolderDataset(samples, batch_size=6, size=32, mesh=mesh)
+
 
 def test_jpeg_folder_dataset_abandoned_epoch_stops_producer():
     """Dropping the epoch generator mid-pass (e.g. one next() for init

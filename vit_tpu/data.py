@@ -203,6 +203,12 @@ class JpegFolderDataset:
     read lazily on the decode thread, so a million-file folder costs no
     RAM up front. The last short batch of an epoch is dropped when
     ``drop_remainder`` (static shapes — one compiled train step).
+
+    ``mesh`` shards every yielded batch over the mesh's data axis as it is
+    placed (``NamedSharding(mesh, P('data'))`` — the layout
+    ``make_train_step`` consumes), so the host→device copy already scatters
+    each shard to its device and the train step never repartitions its
+    input. ``batch_size`` must divide by the data-axis size.
     """
 
     def __init__(
@@ -216,6 +222,7 @@ class JpegFolderDataset:
         drop_remainder: bool = True,
         normalize: bool = True,
         prefetch: bool = True,
+        mesh=None,
     ):
         if len(samples) < batch_size:
             raise ValueError(f"{len(samples)} samples < batch_size {batch_size}")
@@ -226,6 +233,19 @@ class JpegFolderDataset:
         self.drop_remainder = drop_remainder
         self.normalize = normalize
         self.prefetch = prefetch
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from vit_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"{n_data}-way data axis"
+                )
+            self._sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
     def __len__(self) -> int:
         n = len(self.samples)
@@ -256,10 +276,13 @@ class JpegFolderDataset:
         nb = len(self)
         batches = (order[k * self.batch_size:(k + 1) * self.batch_size] for k in range(nb))
 
+        put = (lambda a: jax.device_put(a, self._sharding)) if self._sharding \
+            else jax.device_put
+
         if not self.prefetch:
             for idx in batches:
                 images, labels = self._load(idx)
-                yield jax.device_put(images), jax.device_put(labels)
+                yield put(images), put(labels)
             return
 
         import queue
@@ -288,7 +311,7 @@ class JpegFolderDataset:
                         return
                     images, labels = self._load(idx)
                     # async copy: overlaps the in-flight train step
-                    if not _put((jax.device_put(images), jax.device_put(labels))):
+                    if not _put((put(images), put(labels))):
                         return
                 _put(None)
             except Exception as e:  # surface decode errors on the consumer

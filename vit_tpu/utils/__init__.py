@@ -11,6 +11,12 @@ from vit_tpu.utils.aot import (  # noqa: F401
     load_forward,
 )
 from vit_tpu.utils.bn_folding import fold_batch_norm  # noqa: F401
+from vit_tpu.utils.checkpoint import (  # noqa: F401
+    CheckpointManager,
+    abstract_train_state,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from vit_tpu.utils.debug import checked, debug_nans, kernel_sanitizer  # noqa: F401
 from vit_tpu.utils.health import (  # noqa: F401
     enable_compilation_cache,
