@@ -398,6 +398,36 @@ class TestJpegFolderDataset:
         with pytest.raises(ValueError):
             JpegFolderDataset(samples, batch_size=6, size=32, mesh=mesh)
 
+    def test_shards_partition_each_epoch_exactly(self):
+        """Workers with the same seed and disjoint shard indices cover
+        every sample exactly once per epoch, and a worker's membership
+        reshuffles across epochs (shard AFTER shuffle)."""
+        from vit_tpu.data import JpegFolderDataset
+
+        samples = self._samples(12)
+
+        def labels_seen(shard, epoch):
+            ds = JpegFolderDataset(samples, batch_size=2, size=32, seed=5,
+                                   num_shards=3, shard_index=shard,
+                                   prefetch=False)
+            assert len(ds) == 2  # 12 / 3 shards / batch 2
+            return [int(l) for _, ls in ds.epoch(epoch)
+                    for l in np.asarray(ls)]
+
+        epoch0 = [labels_seen(s, 0) for s in range(3)]
+        assert sorted(sum(epoch0, [])) == list(range(12))
+        assert labels_seen(0, 0) == epoch0[0]          # deterministic
+        assert set(labels_seen(0, 1)) != set(epoch0[0])  # epoch reshuffle
+
+        with pytest.raises(ValueError):
+            JpegFolderDataset(samples, batch_size=2, num_shards=3,
+                              shard_index=3)
+        with pytest.raises(ValueError):
+            JpegFolderDataset(samples, batch_size=2, shard_index=1)
+        with pytest.raises(ValueError):  # 12/4 shards < batch 4
+            JpegFolderDataset(samples, batch_size=4, num_shards=4,
+                              shard_index=0)
+
 
 def test_jpeg_folder_dataset_abandoned_epoch_stops_producer():
     """Dropping the epoch generator mid-pass (e.g. one next() for init

@@ -208,7 +208,16 @@ class JpegFolderDataset:
     placed (``NamedSharding(mesh, P('data'))`` — the layout
     ``make_train_step`` consumes), so the host→device copy already scatters
     each shard to its device and the train step never repartitions its
-    input. ``batch_size`` must divide by the data-axis size.
+    input. ``batch_size`` must divide by the data-axis size. (Addressable
+    single-process meshes; a multi-host global batch additionally needs
+    ``jax.make_array_from_process_local_data`` on the per-host shard.)
+
+    ``num_shards``/``shard_index`` give each worker a disjoint slice of
+    every epoch: the epoch's shuffled order is computed identically on all
+    workers (same ``seed``), then strided — the union covers each sample
+    exactly once per epoch and a worker's membership reshuffles across
+    epochs. This is the per-host input partition for multi-process
+    training (pass ``jax.process_count()`` / ``jax.process_index()``).
     """
 
     def __init__(
@@ -223,9 +232,19 @@ class JpegFolderDataset:
         normalize: bool = True,
         prefetch: bool = True,
         mesh=None,
+        num_shards: Optional[int] = None,
+        shard_index: Optional[int] = None,
     ):
-        if len(samples) < batch_size:
-            raise ValueError(f"{len(samples)} samples < batch_size {batch_size}")
+        if (num_shards is None) != (shard_index is None):
+            raise ValueError("pass num_shards and shard_index together")
+        if num_shards is not None and not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+        self._shard = (shard_index or 0, num_shards or 1)
+        if len(samples) // self._shard[1] < batch_size:
+            raise ValueError(
+                f"{len(samples)} samples / {self._shard[1]} shards "
+                f"< batch_size {batch_size}"
+            )
         self.samples = list(samples)
         self.batch_size = batch_size
         self.seed = seed
@@ -248,11 +267,14 @@ class JpegFolderDataset:
             self._sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
     def __len__(self) -> int:
-        n = len(self.samples)
+        idx, num = self._shard
+        n = len(range(idx, len(self.samples), num))
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
     def _order(self, epoch: int) -> np.ndarray:
-        return np.random.default_rng((self.seed, epoch)).permutation(len(self.samples))
+        order = np.random.default_rng((self.seed, epoch)).permutation(len(self.samples))
+        idx, num = self._shard
+        return order[idx::num]
 
     def _load(self, idx: np.ndarray):
         jpegs = []
