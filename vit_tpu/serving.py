@@ -133,15 +133,10 @@ class BatchingServer:
 
     # -- batcher ------------------------------------------------------------
 
-    def _collect(self, block: bool = True):
+    def _collect(self):
         """Gather until max_batch or the first request's deadline. Returns a
-        list of (item, future), None on the shutdown sentinel, or [] when
-        ``block=False`` and nothing arrived within ``max_wait_s`` (the idle
-        tick that lets the batcher resolve an in-flight device batch)."""
-        try:
-            first = self._q.get(timeout=None if block else self.max_wait_s)
-        except queue.Empty:
-            return []
+        list of (item, future), or None on the shutdown sentinel."""
+        first = self._q.get()
         if first is None:
             return None
         batch = [first]
@@ -231,7 +226,7 @@ class BatchingServer:
         dispatch = getattr(self.pipeline, "dispatch", None)
         try:
             while True:
-                batch = self._collect(block=True)
+                batch = self._collect()
                 if batch is None:  # shutdown, queue drained
                     return
                 items, futures = zip(*batch)
