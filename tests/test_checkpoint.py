@@ -176,6 +176,23 @@ def test_manager_retention_latest_and_cadence(tmp_path):
         assert mgr.all_steps() == [2, 4]
 
 
+def test_manager_best_metric_retention(tmp_path):
+    """best_fn retention keeps the best-metric checkpoints, and
+    best_step() finds the minimum-loss save."""
+    model = tiny_vit()
+    state = create_train_state(model, jax.random.PRNGKey(0), make_batch(0)[0][:1])
+
+    with CheckpointManager(str(tmp_path / "run"), max_to_keep=2,
+                           best_fn=lambda m: m["loss"],
+                           best_mode="min") as mgr:
+        for step, loss in enumerate([3.0, 1.0, 2.0, 4.0]):
+            mgr.save(step, state, metrics={"loss": loss})
+        mgr.wait()
+        assert mgr.best_step() == 1
+        assert 1 in mgr.all_steps()  # the best save survives retention
+        assert len(mgr.all_steps()) == 2
+
+
 def test_manager_restore_missing_raises(tmp_path):
     with CheckpointManager(str(tmp_path / "empty")) as mgr:
         with pytest.raises(FileNotFoundError):

@@ -23,6 +23,8 @@ from vit_tpu.parallel.mesh import (  # noqa: F401
 from vit_tpu.parallel.sharding import (  # noqa: F401
     DEFAULT_TP_RULES,
     replicate_params,
+    fsdp_param_specs,
     shard_params,
+    shard_params_fsdp,
     tp_param_specs,
 )

@@ -79,5 +79,62 @@ def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_TP_RULES) -> Any:
     )
 
 
+def fsdp_param_specs(
+    params: Any,
+    mesh: Mesh,
+    rules=DEFAULT_TP_RULES,
+    *,
+    min_elems: int = 2 ** 15,
+) -> Any:
+    """ZeRO-3-style fully-sharded specs: the TP rules first, then the
+    largest still-free dimension of every big leaf is sharded over the
+    DATA axis.
+
+    Per-device param + optimizer-moment memory divides by the data-axis
+    size; GSPMD all-gathers each weight right where it is used in the
+    forward/backward and reduce-scatters its gradient back to the shard —
+    the scaling-book FSDP recipe, expressed purely as parameter placement
+    (``make_train_step`` is unchanged; the compiler inserts the
+    collectives). Composes with tensor parallelism: a leaf the TP rules
+    shard over 'model' gets 'data' on a *different* dimension.
+
+    Leaves smaller than ``min_elems`` (norm scales, biases, cls tokens)
+    stay on the TP spec — gathering them costs more latency than their
+    bytes save.
+    """
+    import math
+
+    from vit_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data == 1:
+        return tp_param_specs(params, rules)
+
+    def add_data_axis(leaf, spec):
+        if leaf.ndim < 2 or math.prod(leaf.shape) < min_elems:
+            return spec
+        entries = list(spec) + [None] * (leaf.ndim - len(spec))
+        free = [d for d in range(leaf.ndim)
+                if entries[d] is None and leaf.shape[d] % n_data == 0
+                and leaf.shape[d] >= n_data]
+        if not free:
+            return spec
+        d = max(free, key=lambda i: leaf.shape[i])
+        entries[d] = DATA_AXIS
+        return P(*entries)
+
+    return jax.tree.map(add_data_axis, params, tp_param_specs(params, rules))
+
+
+def shard_params_fsdp(
+    params: Any, mesh: Mesh, rules=DEFAULT_TP_RULES, *, min_elems: int = 2 ** 15
+) -> Any:
+    """Place a param pytree fully-sharded (see ``fsdp_param_specs``)."""
+    specs = fsdp_param_specs(params, mesh, rules, min_elems=min_elems)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
 def replicate_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)

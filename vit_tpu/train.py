@@ -112,17 +112,29 @@ def create_train_state(
     *,
     mesh: Mesh = None,
     tp_rules=DEFAULT_TP_RULES,
+    fsdp: bool = False,
 ) -> TrainState:
     """Init params (TP-sharded over ``mesh`` when given) + optimizer state.
 
     ``optimizer.init`` runs on the already-sharded params, so the Adam
     moments inherit the same shardings without explicit annotation.
+
+    ``fsdp=True`` additionally shards every big param over the DATA axis
+    (ZeRO-3-style, ``parallel.fsdp_param_specs``): per-device param and
+    Adam-moment memory divides by the data-axis size, and the unchanged
+    GSPMD step all-gathers weights at their use sites and reduce-scatters
+    gradients back to the shards.
     """
     variables = model.init({"params": rng}, sample_images)
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
     if mesh is not None:
-        params = shard_params(params, mesh, tp_rules)
+        if fsdp:
+            from vit_tpu.parallel.sharding import shard_params_fsdp
+
+            params = shard_params_fsdp(params, mesh, tp_rules)
+        else:
+            params = shard_params(params, mesh, tp_rules)
         model_state = jax.tree.map(
             lambda x: jax.device_put(x, NamedSharding(mesh, P())), model_state
         )

@@ -75,6 +75,7 @@ def abstract_train_state(
     *,
     mesh: Optional[Mesh] = None,
     tp_rules=None,
+    fsdp: bool = False,
 ) -> Any:
     """Abstract ``TrainState`` for cross-topology restore — no device memory.
 
@@ -89,9 +90,13 @@ def abstract_train_state(
     the tree structure must match the saved state. ``mesh=None`` restores
     to single-device (unsharded) arrays on the default device — without an
     explicit sharding orbax would fall back to the layout recorded in the
-    checkpoint, resurrecting the training topology.
+    checkpoint, resurrecting the training topology. ``fsdp=True`` mirrors
+    ``create_train_state(fsdp=True)``: every big leaf re-lands sharded
+    over the data axis too.
     """
-    from vit_tpu.parallel.sharding import DEFAULT_TP_RULES, tp_param_specs
+    from vit_tpu.parallel.sharding import (
+        DEFAULT_TP_RULES, fsdp_param_specs, tp_param_specs,
+    )
     from vit_tpu.train import create_train_state
 
     if tp_rules is None:
@@ -110,7 +115,8 @@ def abstract_train_state(
             ),
             abstract,
         )
-    specs = tp_param_specs(abstract, tp_rules)
+    specs = (fsdp_param_specs(abstract, mesh, tp_rules) if fsdp
+             else tp_param_specs(abstract, tp_rules))
     return jax.tree.map(
         lambda leaf, spec: jax.ShapeDtypeStruct(
             leaf.shape, leaf.dtype, sharding=NamedSharding(mesh, spec)
