@@ -254,6 +254,31 @@ def main():
         "max_logit_err_vs_reference": round(max_err, 5),
     })
 
+    # --- MFU (VERDICT r4 #7): analytic model FLOPs/img over the chip's
+    # measured bf16 peak (197 TF/s, PERFORMANCE.md "speed of light"), so the
+    # flagship number is normalizable across degraded-service episodes and
+    # future hardware. 2 FLOPs per MAC; attention counted at its quadratic
+    # cost (QK^T + PV), patchify + head included. ---
+    n_tok = (CFG["image_size"] // CFG["patch_size"]) ** 2 + 1
+    _d, _mlp, _depth = CFG["dim"], CFG["mlp_dim"], CFG["depth"]
+    flops_img = (
+        2 * n_tok * (CFG["patch_size"] ** 2 * 3) * _d           # patchify GEMM
+        + _depth * (
+            8 * n_tok * _d * _d                                 # qkv + out proj
+            + 4 * n_tok * n_tok * _d                            # QK^T + PV
+            + 4 * n_tok * _d * _mlp                             # MLP pair
+        )
+        + 2 * _d * CFG["num_classes"]                           # classifier
+    )
+    peak_tflops = float(os.environ.get("VIT_TPU_PEAK_BF16_TFLOPS", "197"))
+    achieved_tflops = our_ips * flops_img / 1e12
+    RESULTS.update({
+        "model_gflops_per_image": round(flops_img / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "peak_bf16_tflops_assumed": peak_tflops,
+        "mfu": round(achieved_tflops / peak_tflops, 4),
+    })
+
     # --- latency percentiles (true per-iteration fences, not a mean);
     # small-batch rows expose the dispatch floor batch-128 hides ---
     our_p50, our_p90 = timed_latency(our_apply, our_params, img_bf16, iters=iters)

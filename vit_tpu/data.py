@@ -267,14 +267,17 @@ class JpegFolderDataset:
             self._sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
     def __len__(self) -> int:
-        idx, num = self._shard
-        n = len(range(idx, len(self.samples), num))
+        num = self._shard[1]
+        n = len(self.samples) // num
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
     def _order(self, epoch: int) -> np.ndarray:
         order = np.random.default_rng((self.seed, epoch)).permutation(len(self.samples))
         idx, num = self._shard
-        return order[idx::num]
+        # every shard truncated to len//num samples: unequal shard sizes
+        # would give workers different batch counts per epoch, which
+        # desynchronizes (hangs) SPMD collective train steps (ADVICE r4)
+        return order[idx::num][: len(self.samples) // num]
 
     def _load(self, idx: np.ndarray):
         jpegs = []

@@ -267,14 +267,36 @@ def xla_attention_block(
     return out.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_impl(heads, scale, ln_eps, true_n, block_tokens, interpret):
+    """Mesh-partitionable forward (ops/partitioning.py): the batch grid is
+    sharded in place; every other dim (tokens, model dim, the whole-dim
+    weights) is need-replication, so a TP-sharded weight reaching this
+    fused whole-dim kernel is gathered by the compiler."""
+    from vit_tpu.ops.partitioning import partitioned
+
+    def fn(x, ln_scale, ln_bias, wqkv, wout, bout):
+        return _attention_block_impl(
+            x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps,
+            true_n, block_tokens, interpret,
+        )
+
+    return partitioned(
+        fn,
+        roles_in=(
+            ("b", "n", "d"), ("d",), ("d",), ("d", "f"), ("g", "d"), ("d",),
+        ),
+        roles_out=("b", "n", "d"),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _attention_block_ad(
     x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
     block_tokens, interpret,
 ):
-    return _attention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
-        block_tokens, interpret,
+    return _partitioned_impl(heads, scale, ln_eps, true_n, block_tokens, interpret)(
+        x, ln_scale, ln_bias, wqkv, wout, bout
     )
 
 
@@ -282,9 +304,8 @@ def _ab_fwd(
     x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
     block_tokens, interpret,
 ):
-    out = _attention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, heads, scale, ln_eps, true_n,
-        block_tokens, interpret,
+    out = _partitioned_impl(heads, scale, ln_eps, true_n, block_tokens, interpret)(
+        x, ln_scale, ln_bias, wqkv, wout, bout
     )
     return out, (x, ln_scale, ln_bias, wqkv, wout, bout)
 

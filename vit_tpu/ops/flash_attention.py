@@ -384,18 +384,76 @@ def _flash_attention_kv_blocked_impl(
     return out[:, :nq, :].reshape(b, h, nq, dv)
 
 
+def _bias_pattern(q, bias):
+    """(batch-is-full, heads-is-full) broadcast pattern, or None."""
+    if bias is None:
+        return None
+    return (bias.shape[0] == q.shape[0], bias.shape[1] == q.shape[1])
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_flash(kind, scale, mask_self, block_q, interpret, bias_pattern):
+    """Mesh-partitionable forward (ops/partitioning.py). The [B, H, N, D]
+    layout is embarrassingly parallel over batch AND heads, so both data
+    parallelism and head-parallel TP shard this kernel with zero
+    communication; sequence/head-dim factors are need-replication."""
+    from vit_tpu.ops.partitioning import partitioned
+
+    impl = (
+        _flash_attention_impl
+        if kind == "resident"
+        else _flash_attention_kv_blocked_impl
+    )
+    q_roles = ("b", "h", "n", "d")
+    k_roles = ("b", "h", "m", "d")
+    v_roles = ("b", "h", "m", "e")
+    out_roles = ("b", "h", "n", "e")
+    if bias_pattern is None:
+
+        def fn(q, k, v):
+            return impl(
+                q, k, v, None,
+                scale=scale, mask_self=mask_self, block_q=block_q,
+                interpret=interpret,
+            )
+
+        return partitioned(fn, (q_roles, k_roles, v_roles), out_roles)
+
+    bias_b, bias_h = bias_pattern
+    bias_roles = (
+        "b" if bias_b else "u0",
+        "h" if bias_h else "u1",
+        "n",
+        "m",
+    )
+
+    def fn(q, k, v, bias):
+        return impl(
+            q, k, v, bias,
+            scale=scale, mask_self=mask_self, block_q=block_q,
+            interpret=interpret,
+        )
+
+    return partitioned(fn, (q_roles, k_roles, v_roles, bias_roles), out_roles)
+
+
+def _flash_call(kind, q, k, v, bias, scale, mask_self, block_q, interpret):
+    p = _partitioned_flash(
+        kind, scale, mask_self, block_q, interpret, _bias_pattern(q, bias)
+    )
+    return p(q, k, v) if bias is None else p(q, k, v, bias)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_kv_blocked_ad(q, k, v, bias, scale, mask_self, block_q, interpret):
-    return _flash_attention_kv_blocked_impl(
-        q, k, v, bias,
-        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    return _flash_call(
+        "kv_blocked", q, k, v, bias, scale, mask_self, block_q, interpret
     )
 
 
 def _flash_kv_blocked_fwd(q, k, v, bias, scale, mask_self, block_q, interpret):
-    out = _flash_attention_kv_blocked_impl(
-        q, k, v, bias,
-        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    out = _flash_call(
+        "kv_blocked", q, k, v, bias, scale, mask_self, block_q, interpret
     )
     return out, (q, k, v, bias, out)
 
@@ -434,16 +492,14 @@ def flash_attention_kv_blocked(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention_ad(q, k, v, bias, scale, mask_self, block_q, interpret):
-    return _flash_attention_impl(
-        q, k, v, bias,
-        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    return _flash_call(
+        "resident", q, k, v, bias, scale, mask_self, block_q, interpret
     )
 
 
 def _flash_fwd(q, k, v, bias, scale, mask_self, block_q, interpret):
-    out = _flash_attention_impl(
-        q, k, v, bias,
-        scale=scale, mask_self=mask_self, block_q=block_q, interpret=interpret,
+    out = _flash_call(
+        "resident", q, k, v, bias, scale, mask_self, block_q, interpret
     )
     # out is saved for the chunked backward's delta = rowsum(dO ∘ O) —
     # it replaces the per-row softmax statistics flash backwards need.

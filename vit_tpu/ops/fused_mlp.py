@@ -106,22 +106,74 @@ def _mlp_kernel(
         o_ref[:] = out.astype(o_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_mlp(ndim, presence, activation, residual, ln_eps, block_t,
+                     block_f, interpret):
+    """Mesh-partitionable forward (ops/partitioning.py): the leading token/
+    batch dim shards in place (every row is independent through LN -> MLP ->
+    residual); weights/biases are need-replication, so a TP column/row-
+    sharded w1/w2 pair reaching this whole-dim kernel is gathered by the
+    compiler (use the XLA path for TP-sharded MLPs — it psums instead)."""
+    from vit_tpu.ops.partitioning import partitioned
+
+    has_b1, has_b2, has_lns, has_lnb = presence
+    x_roles = ("b",) + tuple(f"t{i}" for i in range(ndim - 2)) + ("d",)
+    roles = [x_roles, ("d", "f")]
+    if has_b1:
+        roles.append(("f",))
+    roles.append(("f", "d"))
+    if has_b2:
+        roles.append(("d",))
+    if has_lns:
+        roles.append(("d",))
+    if has_lnb:
+        roles.append(("d",))
+
+    def fn(*args):
+        it = iter(args)
+        x, w1 = next(it), next(it)
+        b1 = next(it) if has_b1 else None
+        w2 = next(it)
+        b2 = next(it) if has_b2 else None
+        lns = next(it) if has_lns else None
+        lnb = next(it) if has_lnb else None
+        return _fused_mlp_impl(
+            x, w1, b1, w2, b2, lns, lnb,
+            activation=activation, residual=residual, ln_eps=ln_eps,
+            block_t=block_t, block_f=block_f, interpret=interpret,
+        )
+
+    return partitioned(fn, tuple(roles), x_roles)
+
+
+def _mlp_call(x, w1, b1, w2, b2, ln_scale, ln_bias,
+              activation, residual, ln_eps, block_t, block_f, interpret):
+    presence = (
+        b1 is not None, b2 is not None,
+        ln_scale is not None, ln_bias is not None,
+    )
+    p = _partitioned_mlp(
+        x.ndim, presence, activation, residual, ln_eps, block_t, block_f,
+        interpret,
+    )
+    args = [a for a in (x, w1, b1, w2, b2, ln_scale, ln_bias) if a is not None]
+    return p(*args)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _mlp_ad(x, w1, b1, w2, b2, ln_scale, ln_bias,
             activation, residual, ln_eps, block_t, block_f, interpret):
-    return _fused_mlp_impl(
+    return _mlp_call(
         x, w1, b1, w2, b2, ln_scale, ln_bias,
-        activation=activation, residual=residual, ln_eps=ln_eps,
-        block_t=block_t, block_f=block_f, interpret=interpret,
+        activation, residual, ln_eps, block_t, block_f, interpret,
     )
 
 
 def _mlp_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias,
              activation, residual, ln_eps, block_t, block_f, interpret):
-    out = _fused_mlp_impl(
+    out = _mlp_call(
         x, w1, b1, w2, b2, ln_scale, ln_bias,
-        activation=activation, residual=residual, ln_eps=ln_eps,
-        block_t=block_t, block_f=block_f, interpret=interpret,
+        activation, residual, ln_eps, block_t, block_f, interpret,
     )
     return out, (x, w1, b1, w2, b2, ln_scale, ln_bias)
 

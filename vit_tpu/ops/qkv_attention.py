@@ -90,17 +90,49 @@ def xla_qkv_attention(qkv, heads, bias=None, *, scale=None):
     return out.transpose(0, 2, 1, 3).reshape(b, n, hd)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_qkv(heads, scale, block_q, interpret, bias_pattern):
+    """Mesh-partitionable forward (ops/partitioning.py): batch-sharded in
+    place. The fused last axis is [q|k|v] x all heads — slicing it across
+    'model' would split at the wrong boundaries, so it (and any bias) is
+    need-replication; head-parallel TP should use the [B, H, N, D] flash
+    kernels instead."""
+    from vit_tpu.ops.partitioning import partitioned
+
+    if bias_pattern is None:
+
+        def fn(qkv):
+            return _fused_qkv_attention_impl(
+                qkv, heads, None, scale=scale, block_q=block_q,
+                interpret=interpret,
+            )
+
+        return partitioned(fn, (("b", "n", "f"),), ("b", "n", "g"))
+
+    bias_b = bias_pattern
+
+    def fn(qkv, bias):
+        return _fused_qkv_attention_impl(
+            qkv, heads, bias, scale=scale, block_q=block_q, interpret=interpret
+        )
+
+    bias_roles = ("b" if bias_b else "u0", "u1", "n", "m")
+    return partitioned(fn, (("b", "n", "f"), bias_roles), ("b", "n", "g"))
+
+
+def _qkv_call(qkv, heads, bias, scale, block_q, interpret):
+    pattern = None if bias is None else (bias.shape[0] == qkv.shape[0])
+    p = _partitioned_qkv(heads, scale, block_q, interpret, pattern)
+    return p(qkv) if bias is None else p(qkv, bias)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
 def _qkv_attention_ad(qkv, heads, bias, scale, block_q, interpret):
-    return _fused_qkv_attention_impl(
-        qkv, heads, bias, scale=scale, block_q=block_q, interpret=interpret
-    )
+    return _qkv_call(qkv, heads, bias, scale, block_q, interpret)
 
 
 def _qkv_attention_fwd(qkv, heads, bias, scale, block_q, interpret):
-    out = _fused_qkv_attention_impl(
-        qkv, heads, bias, scale=scale, block_q=block_q, interpret=interpret
-    )
+    out = _qkv_call(qkv, heads, bias, scale, block_q, interpret)
     return out, (qkv, bias)
 
 

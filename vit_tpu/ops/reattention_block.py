@@ -300,20 +300,40 @@ def xla_talking_heads_block(
     return out.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_th(heads, scale, ln_eps, residual, interpret):
+    """Mesh-partitionable forward (ops/partitioning.py): batch grid sharded
+    in place; weights and head-mix tables need-replication."""
+    from vit_tpu.ops.partitioning import partitioned
+
+    def fn(x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post):
+        return _talking_heads_block_impl(
+            x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
+            heads, scale, ln_eps, residual, interpret,
+        )
+
+    return partitioned(
+        fn,
+        roles_in=(
+            ("b", "n", "d"), ("d",), ("d",), ("d", "f"), ("g", "d"), ("d",),
+            ("h1", "h2"), ("h3", "h4"),
+        ),
+        roles_out=("b", "n", "d"),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _th_ad(x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
            heads, scale, ln_eps, residual, interpret):
-    return _talking_heads_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
-        heads, scale, ln_eps, residual, interpret,
+    return _partitioned_th(heads, scale, ln_eps, residual, interpret)(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post
     )
 
 
 def _th_fwd(x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
             heads, scale, ln_eps, residual, interpret):
-    out = _talking_heads_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post,
-        heads, scale, ln_eps, residual, interpret,
+    out = _partitioned_th(heads, scale, ln_eps, residual, interpret)(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post
     )
     return out, (x, ln_scale, ln_bias, wqkv, wout, bout, mix_pre, mix_post)
 
@@ -451,20 +471,40 @@ def xla_reattention_block(
     return out.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_reattn(heads, scale, ln_eps, reattn_eps, interpret):
+    """Mesh-partitionable forward (ops/partitioning.py): batch grid sharded
+    in place; weights, head mix, and re-attention LN params need-replication."""
+    from vit_tpu.ops.partitioning import partitioned
+
+    def fn(x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias):
+        return _reattention_block_impl(
+            x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
+            heads, scale, ln_eps, reattn_eps, interpret,
+        )
+
+    return partitioned(
+        fn,
+        roles_in=(
+            ("b", "n", "d"), ("d",), ("d",), ("d", "f"), ("g", "d"), ("d",),
+            ("h1", "h2"), ("h3",), ("h4",),
+        ),
+        roles_out=("b", "n", "d"),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def _reattn_ad(x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
                heads, scale, ln_eps, reattn_eps, interpret):
-    return _reattention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
-        heads, scale, ln_eps, reattn_eps, interpret,
+    return _partitioned_reattn(heads, scale, ln_eps, reattn_eps, interpret)(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias
     )
 
 
 def _reattn_fwd(x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
                 heads, scale, ln_eps, reattn_eps, interpret):
-    out = _reattention_block_impl(
-        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias,
-        heads, scale, ln_eps, reattn_eps, interpret,
+    out = _partitioned_reattn(heads, scale, ln_eps, reattn_eps, interpret)(
+        x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias
     )
     return out, (x, ln_scale, ln_bias, wqkv, wout, bout, mix, rln_scale, rln_bias)
 

@@ -254,18 +254,61 @@ def xla_window_attention_block(
     return out.astype(xw.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_window(heads, scale, ln_eps, interpret, bias_rank):
+    """Mesh-partitionable forward (ops/partitioning.py): the window axis
+    (batch x windows, the grid axis) is sharded in place — a batch-sharded
+    fmap stays sharded through partition/kernel/unpartition under dp. The
+    per-window bias table and the whole-dim weights are need-replication."""
+    from vit_tpu.ops.partitioning import partitioned, unique_roles
+
+    w_roles = (
+        ("b", "s", "c"), ("c",), ("c",), ("c", "f"), ("g", "c"), ("c",),
+    )
+    if bias_rank is None:
+
+        def fn(xw, ln_scale, ln_bias, wqkv, wout, bout):
+            return _window_attention_block_impl(
+                xw, ln_scale, ln_bias, wqkv, wout, bout, None,
+                heads, scale, ln_eps, interpret,
+            )
+
+        return partitioned(fn, w_roles, ("b", "s", "c"))
+
+    def fn(xw, ln_scale, ln_bias, wqkv, wout, bout, bias):
+        return _window_attention_block_impl(
+            xw, ln_scale, ln_bias, wqkv, wout, bout, bias,
+            heads, scale, ln_eps, interpret,
+        )
+
+    return partitioned(
+        fn, w_roles + (unique_roles(bias_rank, "u"),), ("b", "s", "c")
+    )
+
+
+def _wab_call(xw, ln_scale, ln_bias, wqkv, wout, bout, bias, heads, scale,
+              ln_eps, interpret):
+    p = _partitioned_window(
+        heads, scale, ln_eps, interpret, None if bias is None else bias.ndim
+    )
+    args = (xw, ln_scale, ln_bias, wqkv, wout, bout)
+    return p(*args) if bias is None else p(*args, bias)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _window_attention_block_ad(
     xw, ln_scale, ln_bias, wqkv, wout, bout, bias, heads, scale, ln_eps, interpret
 ):
-    return _window_attention_block_impl(
-        xw, ln_scale, ln_bias, wqkv, wout, bout, bias, heads, scale, ln_eps, interpret
+    return _wab_call(
+        xw, ln_scale, ln_bias, wqkv, wout, bout, bias, heads, scale, ln_eps,
+        interpret,
     )
 
 
 def _wab_fwd(xw, ln_scale, ln_bias, wqkv, wout, bout, bias, heads, scale, ln_eps, interpret):
-    out = _window_attention_block_impl(
-        xw, ln_scale, ln_bias, wqkv, wout, bout, bias, heads, scale, ln_eps, interpret
+    out = _wab_call(
+        xw, ln_scale, ln_bias, wqkv, wout, bout, bias, heads, scale, ln_eps,
+        interpret,
     )
     return out, (xw, ln_scale, ln_bias, wqkv, wout, bout, bias)
 

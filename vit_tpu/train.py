@@ -8,10 +8,12 @@ XLA inserts every collective (grad all-reduce over ``data``, psum over
 ``model`` on the row-parallel projections). Shardings follow the data — the
 step itself is a plain ``jax.jit``.
 
-The train step traces through the XLA op path (``ops.force_backend('xla')``)
-so the GSPMD partitioner can shard every op (Pallas custom-calls carry no
-partitioning rules). The kernels themselves are differentiable (custom VJPs
-with XLA-recompute backwards) and serve single-chip / shard_map training.
+The step's kernel backend is selectable (``make_train_step(backend=...)``):
+the default traces the plain-XLA op path, while ``"pallas"``/``"auto"``
+keep the fused Pallas kernels inside the GSPMD program — they carry
+partitioning rules now (ops/partitioning.py) that shard their batch grids
+over the data axis in place. The kernels are differentiable (custom VJPs
+with XLA-recompute backwards) under either path.
 """
 
 from __future__ import annotations
@@ -158,6 +160,7 @@ def make_train_step(
     qat: bool = False,
     moe_aux_weight: float = 0.0,
     donate: bool = False,
+    backend: str = "xla",
 ) -> Callable:
     """Jitted ``step(state, images, labels) -> (state, loss)``.
 
@@ -203,6 +206,14 @@ def make_train_step(
     against a frozen teacher (``vit_tpu.augment.distillation_loss``). For a
     two-head student (LeViT with ``num_distill_classes``) the distill head
     trains on the teacher; single-head students distill on their one head.
+
+    ``backend`` selects the kernel backend the step traces with.
+    ``"xla"`` (default) is the plain-op path every GSPMD program used
+    through round 4. Since the kernels gained partitioning rules
+    (ops/partitioning.py), ``"pallas"``/``"interpret"``/``"auto"`` keep the
+    fused kernels IN the partitioned program: data parallelism shards their
+    batch grids in place; TP-sharded whole-dim weights are gathered by the
+    compiler at kernel entry. ``None`` inherits the ambient dispatch mode.
     """
     optimizer = optimizer or make_optimizer()
 
@@ -231,7 +242,12 @@ def make_train_step(
                 if moe_aux_weight:
                     mutable = mutable + ["intermediates"]
                 scope = remat_scope() if remat else contextlib.nullcontext()
-                with ops.force_backend("xla"), scope:
+                kscope = (
+                    contextlib.nullcontext()
+                    if backend is None
+                    else ops.force_backend(backend)
+                )
+                with kscope, scope:
                     if mutable:
                         # BatchNorm state and/or sown intermediates
                         logits, mut_out = model.apply(

@@ -11,12 +11,6 @@ from vit_tpu.utils.aot import (  # noqa: F401
     load_forward,
 )
 from vit_tpu.utils.bn_folding import fold_batch_norm  # noqa: F401
-from vit_tpu.utils.checkpoint import (  # noqa: F401
-    CheckpointManager,
-    abstract_train_state,
-    restore_checkpoint,
-    save_checkpoint,
-)
 from vit_tpu.utils.debug import checked, debug_nans, kernel_sanitizer  # noqa: F401
 from vit_tpu.utils.health import (  # noqa: F401
     enable_compilation_cache,
@@ -41,3 +35,20 @@ from vit_tpu.utils.pos_embed import (  # noqa: F401
     adapt_vit_resolution,
     interpolate_pos_embedding,
 )
+
+# Checkpoint symbols stay lazy: importing vit_tpu.utils for profiling/health
+# must not eagerly pull in orbax and its background machinery (ADVICE r4).
+_CHECKPOINT_SYMBOLS = (
+    "CheckpointManager",
+    "abstract_train_state",
+    "restore_checkpoint",
+    "save_checkpoint",
+)
+
+
+def __getattr__(name):
+    if name in _CHECKPOINT_SYMBOLS:
+        from vit_tpu.utils import checkpoint as _ckpt
+
+        return getattr(_ckpt, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

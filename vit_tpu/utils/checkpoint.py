@@ -179,6 +179,16 @@ class CheckpointManager:
             force=force,
         )
 
+    def should_save(self, step: int) -> bool:
+        """True when ``save(step)`` would actually write (cadence hit, step
+        not already saved). Lets train loops skip materializing loss/metrics
+        on skipped steps — ``float(loss)`` is a host sync that defeats async
+        dispatch (ADVICE r4)."""
+        return (
+            int(step) not in self._mgr.all_steps()
+            and self._mgr.should_save(int(step))
+        )
+
     def restore(self, step: Optional[int] = None, *, target: Any = None) -> Any:
         """Restore ``step`` (default: latest). ``target`` as in
         ``restore_checkpoint`` — pass ``abstract_train_state(...)`` to
