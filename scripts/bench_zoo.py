@@ -5,11 +5,15 @@ VERDICT r1 item 4: a single flagship number can hide regressions; this
 benches all 17 families. Timing syncs by pulling the last output to host
 (block_until_ready under-reports on this environment's tunneled backend).
 
-Conv-hybrid families (cvt/levit) run ours at fp32: measured faster than
-bf16 on TPU (depthwise/BN conv pipelines are conversion-bound, and fp32
-GEMMs run one-pass bf16 on the MXU under default precision anyway —
-same MXU cost, fewer casts). Twins runs bf16: with its local attention
-on the fused multi-window kernel, bf16 measures 1674 img/s vs 817 fp32.
+Conv hybrids: CvT runs bf16 with FOLDED BN and pre-cast bf16 weights —
+round 5 (scripts/tune_convhybrid_r5.py) measured 4521 img/s vs 4129 fp32
+once the BN fold removes the normalize ops and the pre-cast removes
+flax's per-op param casts (round 3's "bf16 loses" held only for the
+unfolded, fp32-param graph). LeViT stays fp32: its 196/49-token
+attention is in the flash-misroute regime at bf16 and the stem/1x1-conv
+pipeline measures faster under fp32 (scripts/profile_levit_r5.py).
+Twins runs bf16: with its local attention on the fused multi-window
+kernel, bf16 measures 1674 img/s vs 817 fp32.
 
 Reference comparators need the same minimal shims as the parity tests:
 - Array.split method restore (simple_vit / parallel_vit / patch_merger
@@ -124,7 +128,7 @@ def make_ref_runner(module_name, cls_name, cfg, img, *, mutable=(), shims=()):
 
 
 def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False, dtype="default",
-                     fold_bn=False):
+                     fold_bn=False, weights_dtype=None):
     batch = img.shape[0]
     def run():
         model = cls(**cfg, dtype=(DTYPE if dtype == "default" else dtype))
@@ -140,6 +144,15 @@ def make_ours_runner(cls, cfg, img, *, mutable=(), tuple_out=False, dtype="defau
             # param tree through the tunnel (measured: cvt 3300 -> 95 img/s)
             params = jax.device_put(params)
             use_mutable = ()
+        if weights_dtype is not None:
+            # round 5 (tune_convhybrid_r5.py): serving the weights pre-cast
+            # halves weight HBM traffic and deletes flax's per-op casts —
+            # the lever that flips CvT from fp32-fastest to bf16-fastest
+            # (4129 -> 4521 img/s with folded BN)
+            params = jax.tree.map(
+                lambda x: x.astype(weights_dtype)
+                if x.dtype == jnp.float32 else x, params
+            )
         if use_mutable:
             fn = jax.jit(lambda p, x: model.apply(p, x, mutable=list(use_mutable))[0])
         else:
@@ -229,7 +242,8 @@ def main():
         ("cvt",
          make_ref_runner("cvt", "CvT", dict(num_classes=1000, dropout=0.0), img(256),
                          mutable=("batch_stats",)),
-         make_ours_runner(M.CvT, dict(num_classes=1000), img(256), dtype=None, fold_bn=True)),
+         make_ours_runner(M.CvT, dict(num_classes=1000), img(256), dtype=DTYPE,
+                          fold_bn=True, weights_dtype=DTYPE)),
         ("levit",
          make_ref_runner("levit", "LeViT",
                          dict(image_size=224, num_classes=1000, stages=3, dim=(256, 384, 512),
