@@ -8,12 +8,15 @@ t2t_layers ((7,4),(3,2),(3,2))) decomposes into:
   t2t stage 0   1-head depth-1 transformer at n=3136, dim 147
   t2t stage 1   1-head depth-1 transformer at n=784, dim 1323
   proj          Dense 11907 -> 512 at n=196
-  encoder       5-layer 8-head transformer at n=3137, dim 512
+  encoder       5-layer 8-head transformer at n=197, dim 512
 
-The encoder's attention alone is ~20 GFLOPs/img x 5 layers — if the
-measured phase times sit near the chip's bf16 roofline, the 1.19x is
-FLOP-bound and closed-by-nature (the reference pays the same math);
-otherwise the slow phase is the lever.
+FLOP model per image: stage0 ~6.5 GF (attention n^2 d dominates, and its
+d=147 pads to 256 lanes), stage1 ~20 GF (the qkv/out/mlp GEMMs at dim
+1323 dominate; 1323 pads to 1408 lanes), proj 2.4 GF, encoder ~4.5 GF —
+the tokenizer IS the model. If the measured phase times sit near the
+chip's bf16 roofline the 1.19x is shape-bound and closed-by-nature (the
+reference pays the same lane padding); otherwise the slow phase is the
+lever.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_t2t_r5.py
 """
@@ -112,13 +115,13 @@ def main():
            timed_ms(jax.jit(lambda v, a: proj.apply(v, a).sum()), p, x),
            2 * 196 * 11907 * 512 * B / 1e9)
 
-    # encoder, isolated
-    x = jax.random.normal(jax.random.PRNGKey(6), (B, 3137, 512), dtype)
+    # encoder, isolated — 14x14 final grid + cls = 197 tokens
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, 197, 512), dtype)
     enc = Transformer(dim=512, depth=5, heads=8, dim_head=64, mlp_dim=512,
                       norm_eps=1e-5, dtype=dtype)
     p = jax.jit(lambda: enc.init({"params": jax.random.PRNGKey(7)}, x))()
     ms = timed_ms(jax.jit(lambda v, a: enc.apply(v, a).sum()), p, x)
-    report("encoder-x5", ms, attn_phase_gflops(3137, 512, 512, 512, 5))
+    report("encoder-x5", ms, attn_phase_gflops(197, 512, 512, 512, 5))
 
 
 if __name__ == "__main__":

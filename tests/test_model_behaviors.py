@@ -257,3 +257,80 @@ def test_true_tokens_refuses_unmasked_paths():
     attn = Attention(dim=64, heads=4, dim_head=16, qkv_bias=True, true_tokens=60)
     with pytest.raises(AssertionError, match="raw-param"):
         attn.init({"params": jax.random.PRNGKey(0)}, jnp.ones((1, 64, 64)))
+
+
+class TestLowQueryCrossAttention:
+    """The reassociated low-query cross-attention path (round-5 CaiT lever):
+    ``q(CW_k)^T = (qW_k^T)C^T`` and ``p(CW_v) = (pC)W_v`` must agree with
+    the standard projection order and keep the Dense param tree."""
+
+    def _paths(self, **kwargs):
+        import jax
+        import jax.numpy as jnp
+
+        from vit_tpu.nn.attention import Attention
+
+        on = Attention(dim=128, heads=4, dim_head=32, lowq_cross=True, **kwargs)
+        off = Attention(dim=128, heads=4, dim_head=32, lowq_cross=False, **kwargs)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 128))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 65, 128))
+        v_on = on.init({"params": jax.random.PRNGKey(2)}, x, ctx, True)
+        v_off = off.init({"params": jax.random.PRNGKey(2)}, x, ctx, True)
+        return on, off, v_on, v_off, x, ctx
+
+    def test_param_tree_identical(self):
+        import jax
+
+        _, _, v_on, v_off, _, _ = self._paths()
+        t_on = jax.tree_util.tree_structure(v_on)
+        t_off = jax.tree_util.tree_structure(v_off)
+        assert t_on == t_off
+        shapes_on = jax.tree_util.tree_map(lambda a: a.shape, v_on)
+        shapes_off = jax.tree_util.tree_map(lambda a: a.shape, v_off)
+        assert shapes_on == shapes_off
+
+    def test_matches_standard_order(self):
+        import numpy as np
+
+        on, off, v_on, _, x, ctx = self._paths()
+        out_on = on.apply(v_on, x, ctx, True)
+        out_off = off.apply(v_on, x, ctx, True)
+        np.testing.assert_allclose(
+            np.asarray(out_on), np.asarray(out_off), atol=2e-5, rtol=2e-5
+        )
+
+    def test_matches_standard_order_talking_heads(self):
+        import numpy as np
+
+        on, off, v_on, _, x, ctx = self._paths(talking_heads=True)
+        out_on = on.apply(v_on, x, ctx, True)
+        out_off = off.apply(v_on, x, ctx, True)
+        np.testing.assert_allclose(
+            np.asarray(out_on), np.asarray(out_off), atol=2e-5, rtol=2e-5
+        )
+
+    def test_grads_match_standard_order(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        on, off, v_on, _, x, ctx = self._paths(talking_heads=True)
+
+        def loss(m, v, a, c):
+            return jnp.sum(m.apply(v, a, c, True) ** 2)
+
+        g_on = jax.grad(loss, argnums=1)(on, v_on, x, ctx)
+        g_off = jax.grad(loss, argnums=1)(off, v_on, x, ctx)
+        flat_on = jax.tree_util.tree_leaves(g_on)
+        flat_off = jax.tree_util.tree_leaves(g_off)
+        for a, b in zip(flat_on, flat_off):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+            )
+
+    def test_auto_gate_on_cait_shape(self):
+        """dim 1024 / 65-token context / 1 query: the FLOP gate must fire."""
+        n_q, n_kv, inner = 1, 65, 1024
+        assert 4 * n_q * (inner + n_kv) <= n_kv * inner
+        # a 64-query, 64-token context must NOT fire (reassoc would lose)
+        assert not (4 * 64 * (inner + 64) <= 64 * inner)

@@ -35,6 +35,26 @@ def _layer_norm_f32(x, scale, bias, eps=1e-6):
     return (x - mean) * mul + bias
 
 
+class _DenseParams(nn.Module):
+    """Owns an ``nn.Dense``-shaped parameter block (``kernel``/``bias``)
+    without running the projection. The low-query cross-attention path
+    reassociates the kv GEMMs away but must keep the checkpoint/importer
+    param tree of the Dense it replaces (``to_kv/kernel``)."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features), jnp.float32
+        )
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def split_heads(x: jax.Array, heads: int) -> jax.Array:
     """``[B, N, H*D] -> [B, H, N, D]``."""
     b, n, hd = x.shape
@@ -118,6 +138,10 @@ class Attention(nn.Module):
     # context stays raw (cait.py:96-99, cross_vit.py's PreNorm). Set True
     # for the upstream-lucidrains behavior of norming the context too.
     norm_context: bool = False
+    # Reassociated low-query cross-attention: None = auto (FLOP-model gate),
+    # True/False force it on/off (False reproduces the materializing order
+    # bit-for-bit for parity studies).
+    lowq_cross: Optional[bool] = None
     norm_eps: float = 1e-6
     dtype: Optional[jnp.dtype] = None
 
@@ -339,24 +363,47 @@ class Attention(nn.Module):
                 context = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm_context")(context)
             kv_src = jnp.concatenate([x, context], axis=1) if kv_include_self else context
 
+        out = None
         if is_self:
             qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="to_qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
-            kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(kv_src)
-            k, v = jnp.split(kv, 2, axis=-1)
+            n_q, n_kv = q.shape[1], kv_src.shape[1]
+            # Low-query reassociation (CaiT class stage cait.py:176-179,
+            # CrossViT cls cross-attention cross_vit.py:155-157): the
+            # standard order pays two n_kv x d x inner GEMMs projecting the
+            # whole context through W_k/W_v to serve n_q queries. When the
+            # reassociated cost (everything proportional to n_q) is at
+            # least 4x cheaper, skip the kv projection entirely.
+            lowq = (
+                not self.qkv_bias
+                and not self.reattention
+                and not self.mask_self
+                and bias is None
+                and (
+                    self.lowq_cross
+                    if self.lowq_cross is not None
+                    else 4 * n_q * (inner + n_kv) <= n_kv * inner
+                )
+            )
+            if lowq:
+                out = self._lowq_cross_attention(q, kv_src, scale, deterministic)
+            else:
+                kv = nn.Dense(inner * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="to_kv")(kv_src)
+                k, v = jnp.split(kv, 2, axis=-1)
 
-        q = split_heads(q, self.heads)
-        k = split_heads(k, self.heads)
-        v = split_heads(v, self.heads)
+        if out is None:
+            q = split_heads(q, self.heads)
+            k = split_heads(k, self.heads)
+            v = split_heads(v, self.heads)
 
-        if not needs_materialized:
-            out = ops.attention(q, k, v, bias=bias, scale=scale, mask_self=self.mask_self)
-        else:
-            out = self._materializing_attention(q, k, v, bias, scale, deterministic)
+            if not needs_materialized:
+                out = ops.attention(q, k, v, bias=bias, scale=scale, mask_self=self.mask_self)
+            else:
+                out = self._materializing_attention(q, k, v, bias, scale, deterministic)
 
-        out = merge_heads(out)
+            out = merge_heads(out)
         if project_out:
             out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
             out = nn.Dropout(self.dropout, name="out_drop")(out, deterministic=deterministic)
@@ -373,6 +420,53 @@ class Attention(nn.Module):
             "reattn_bias", nn.initializers.zeros, (self.heads,), jnp.float32
         )
         return mix, rln_scale, rln_bias
+
+    def _lowq_cross_attention(self, q, context, scale, deterministic):
+        """Reassociated cross-attention for tiny query counts.
+
+        With ``n_q << n_kv << dim`` (CaiT's 1-token class stage: round-5
+        decomposition measured 4.3 ms of a 21.6 ms batch in two 1-query
+        layers), never project the context through W_k/W_v:
+
+          ``q (C W_k)^T = (q W_k^T) C^T``   and   ``p (C W_v) = (p C) W_v``
+
+        makes every op proportional to ``n_q``. Scores stay materialized
+        at ``(b, h, n_q, n_kv)``, so the talking-heads mixes and attention
+        dropout slot in unchanged. Param tree is identical to the standard
+        path (``to_kv/kernel`` via :class:`_DenseParams`)."""
+        inner = self.heads * self.dim_head
+        d_model = context.shape[-1]
+        dtype = self.dtype or context.dtype
+        wkv, _ = _DenseParams(features=inner * 2, name="to_kv")(d_model)
+        wk, wv = jnp.split(wkv, 2, axis=-1)
+        wk = wk.reshape(d_model, self.heads, self.dim_head).astype(dtype)
+        wv = wv.reshape(d_model, self.heads, self.dim_head).astype(dtype)
+        qh = split_heads(q, self.heads).astype(dtype)  # (b, h, nq, e)
+        c = context.astype(dtype)
+        t = jnp.einsum(
+            "bhqe,dhe->bhqd", qh, wk, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        s = jnp.einsum("bhqd,bjd->bhqj", t, c, preferred_element_type=jnp.float32)
+        s = s * scale
+        if self.talking_heads:
+            mix_pre = self.param(
+                "mix_heads_pre", nn.initializers.normal(0.02), (self.heads, self.heads)
+            )
+            s = jnp.einsum("bhqj,hg->bgqj", s, mix_pre)
+        p = jax.nn.softmax(s, axis=-1)
+        if self.talking_heads:
+            mix_post = self.param(
+                "mix_heads_post", nn.initializers.normal(0.02), (self.heads, self.heads)
+            )
+            p = jnp.einsum("bhqj,hg->bgqj", p, mix_post)
+        p = nn.Dropout(self.dropout, name="attn_drop")(p, deterministic=deterministic)
+        u = jnp.einsum(
+            "bhqj,bjd->bhqd", p.astype(c.dtype), c, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        out = jnp.einsum(
+            "bhqd,dhe->bhqe", u, wv, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        return merge_heads(out)
 
     def _materializing_attention(self, q, k, v, bias, scale, deterministic):
         """XLA path materializing the score matrix — covers talking-heads,

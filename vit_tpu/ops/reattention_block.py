@@ -133,7 +133,7 @@ def _kernel(
 
 
 def _th_kernel(
-    x_ref,          # (1, N, D)
+    x_ref,          # (BB, N, D)
     ln_scale_ref,   # (1, D)
     ln_bias_ref,    # (1, D)
     wqkv_ref,       # (D, 3*H*Dh)
@@ -141,7 +141,7 @@ def _th_kernel(
     bout_ref,       # (1, D)
     pre_ref,        # (H, H) pre-softmax head mix
     post_ref,       # (H, H) post-softmax head mix
-    o_ref,          # (1, N, D)
+    o_ref,          # (BB, N, D)
     *,
     heads: int,
     d: int,
@@ -149,12 +149,19 @@ def _th_kernel(
     ln_eps: float,
     residual: bool,
     true_n: int,
+    bb: int = 1,
 ):
     """CaiT talking-heads block (cait.py:87-107): scores -> pre-softmax
     head mix -> softmax -> post-softmax head mix -> PV, the mixes tile-wise
     over per-head score tiles in VMEM. Padded key columns are masked AFTER
     the pre-mix (mixing -1e30 placeholders through signed weights would
-    corrupt them) and carry zero mass through the post-mix."""
+    corrupt them) and carry zero mass through the post-mix.
+
+    ``bb`` samples per grid step: CaiT's patch stage is n=64 at dim 1024,
+    so a one-sample step feeds the MXU 64-row GEMMs — batch-blocking the
+    qkv/out projections to ``bb*n`` rows restores M-occupancy (round-5
+    measurement: the stage ran at ~46% of bf16 peak with bb=1). The
+    per-sample score pipeline stays a python loop (static, small)."""
     precision = (
         jax.lax.Precision.HIGHEST
         if wqkv_ref.dtype == jnp.float32
@@ -162,7 +169,7 @@ def _th_kernel(
     )
     hd = heads * d
     n = x_ref.shape[1]
-    x = x_ref[0]
+    x = x_ref[...].reshape(bb * n, x_ref.shape[2])
     xn = _ln_f32(
         x.astype(jnp.float32),
         ln_scale_ref[0].astype(jnp.float32),
@@ -174,42 +181,48 @@ def _th_kernel(
         xn, wqkv_ref[:], preferred_element_type=jnp.float32, precision=precision
     ).astype(wqkv_ref.dtype)
 
-    ss = []
-    for h in range(heads):
-        q = qkv[:, h * d : (h + 1) * d]
-        k = qkv[:, hd + h * d : hd + (h + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        ss.append(s * scale)
-
     pre = pre_ref[...].astype(jnp.float32)
     post = post_ref[...].astype(jnp.float32)
-    mixed = [sum(pre[h, g] * ss[h] for h in range(heads)) for g in range(heads)]
-
+    col_valid = None
     if true_n != n:
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         col_valid = col_ids < true_n
-        mixed = [jnp.where(col_valid, s, -1e30) for s in mixed]
 
-    ps = []
-    for s in mixed:
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
-
-    outs = []
-    for g in range(heads):
-        pg = sum(post[h, g] * ps[h] for h in range(heads))
-        v = qkv[:, 2 * hd + g * d : 2 * hd + (g + 1) * d]
-        outs.append(
-            jax.lax.dot(
-                pg.astype(v.dtype), v,
+    attn_rows = []
+    for s_i in range(bb):
+        rows = slice(s_i * n, (s_i + 1) * n)
+        ss = []
+        for h in range(heads):
+            q = qkv[rows, h * d : (h + 1) * d]
+            k = qkv[rows, hd + h * d : hd + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
-            ).astype(wout_ref.dtype)
-        )
-    attn_out = jnp.concatenate(outs, axis=-1)
+            )
+            ss.append(s * scale)
+
+        mixed = [sum(pre[h, g] * ss[h] for h in range(heads)) for g in range(heads)]
+        if col_valid is not None:
+            mixed = [jnp.where(col_valid, s, -1e30) for s in mixed]
+
+        ps = []
+        for s in mixed:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
+
+        outs = []
+        for g in range(heads):
+            pg = sum(post[h, g] * ps[h] for h in range(heads))
+            v = qkv[rows, 2 * hd + g * d : 2 * hd + (g + 1) * d]
+            outs.append(
+                jax.lax.dot(
+                    pg.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32, precision=precision,
+                ).astype(wout_ref.dtype)
+            )
+        attn_rows.append(jnp.concatenate(outs, axis=-1))
+    attn_out = attn_rows[0] if bb == 1 else jnp.concatenate(attn_rows, axis=0)
 
     out = jax.lax.dot(
         attn_out, wout_ref[:], preferred_element_type=jnp.float32, precision=precision
@@ -217,7 +230,7 @@ def _th_kernel(
     out += bout_ref[0].astype(jnp.float32)
     if residual:
         out += x.astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.astype(o_ref.dtype).reshape(bb, n, o_ref.shape[2])
 
 
 @functools.partial(
@@ -238,14 +251,24 @@ def _talking_heads_block_impl(
     if n != true_n:
         x = jnp.pad(x, ((0, 0), (0, n - true_n), (0, 0)))
 
+    # Batch-block short-sequence calls so the qkv/out GEMMs see bb*n rows
+    # (MXU M-occupancy; see _th_kernel docstring). Score tiles cost
+    # bb*heads*n^2 fp32 words twice over — keep the working set modest.
+    bb = 1
+    if n <= 128:
+        for cand in (4, 2):
+            if b % cand == 0 and cand * heads * n * n * 4 * 2 <= 4 * 1024 * 1024:
+                bb = cand
+                break
+
     out = pl.pallas_call(
         functools.partial(
             _th_kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps,
-            residual=residual, true_n=true_n,
+            residual=residual, true_n=true_n, bb=bb,
         ),
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, three_hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -254,7 +277,7 @@ def _talking_heads_block_impl(
             pl.BlockSpec((heads, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((heads, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
         interpret=interpret,
     )(
