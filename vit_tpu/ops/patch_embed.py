@@ -52,6 +52,15 @@ def extract_patches(
     c = x.shape[-1]
     # conv_general_dilated_patches returns features as (channel, row, col)
     # in the channel dim for NHWC inputs; transpose to TF's (row, col, chan).
+    #
+    # Round-5 negative (measured, scripts/probe_softsplit_ab_r5.py): the
+    # "obvious" k^2-strided-slices + channel-concat formulation wins
+    # isolated (11.1 vs 15.4 ms for t2t's three splits) but loses 41% on
+    # the whole model (conv 70.6 / slices 99.6 / k-gated hybrid 73.6
+    # ms/batch, same process) — XLA's fusion of the concat into the stage
+    # GEMMs re-gathers strided source per tile, and an optimization
+    # barrier only recovers part of it (114 -> 101 ms). The conv lowering
+    # stays.
     patches = jax.lax.conv_general_dilated_patches(
         x,
         filter_shape=(kernel, kernel),

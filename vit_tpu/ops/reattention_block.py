@@ -36,7 +36,7 @@ from vit_tpu.ops.block_attention import _ln_f32
 
 
 def _kernel(
-    x_ref,          # (1, N, D)
+    x_ref,          # (BB, N, D)
     ln_scale_ref,   # (1, D)
     ln_bias_ref,    # (1, D)
     wqkv_ref,       # (D, 3*H*Dh)
@@ -45,7 +45,7 @@ def _kernel(
     mix_ref,        # (H, H) re-attention head mix
     rln_scale_ref,  # (1, H)
     rln_bias_ref,   # (1, H)
-    o_ref,          # (1, N, D)
+    o_ref,          # (BB, N, D)
     *,
     heads: int,
     d: int,
@@ -53,7 +53,11 @@ def _kernel(
     ln_eps: float,
     reattn_eps: float,
     true_n: int,
+    bb: int = 1,
 ):
+    """``bb`` samples per grid step (see _th_kernel): the qkv/out GEMMs run
+    on ``bb*n`` rows for MXU M-occupancy; the per-sample score pipeline is
+    a static python loop."""
     precision = (
         jax.lax.Precision.HIGHEST
         if wqkv_ref.dtype == jnp.float32
@@ -61,7 +65,7 @@ def _kernel(
     )
     hd = heads * d
     n = x_ref.shape[1]
-    x = x_ref[0]
+    x = x_ref[...].reshape(bb * n, x_ref.shape[2])
     xn = _ln_f32(
         x.astype(jnp.float32),
         ln_scale_ref[0].astype(jnp.float32),
@@ -73,63 +77,70 @@ def _kernel(
         xn, wqkv_ref[:], preferred_element_type=jnp.float32, precision=precision
     ).astype(wqkv_ref.dtype)
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    col_valid = col_ids < true_n
+    col_valid = None
+    if true_n != n:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        col_valid = col_ids < true_n
 
-    # per-head softmax'd score tiles, fp32, resident in VMEM
-    ps = []
-    for h in range(heads):
-        q = qkv[:, h * d : (h + 1) * d]
-        k = qkv[:, hd + h * d : hd + (h + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        s *= scale
-        if true_n != n:
-            s = jnp.where(col_valid, s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
-
-    # head re-mix: r_g = sum_h mix[h, g] * p_h — weighted sums of tiles
     mix = mix_ref[...].astype(jnp.float32)
-    rs = [
-        sum(mix[h, g] * ps[h] for h in range(heads)) for g in range(heads)
-    ]
-
-    # LayerNorm over the head axis, elementwise across tiles (flax op
-    # order: fast variance, scale folded into the rsqrt multiplier)
-    inv_h = 1.0 / heads
-    mean = sum(rs) * inv_h
-    var = sum(r * r for r in rs) * inv_h - mean * mean
-    var = jnp.maximum(var, 0.0)
-    mul = jax.lax.rsqrt(var + reattn_eps)
     rln_scale = rln_scale_ref[0].astype(jnp.float32)
     rln_bias = rln_bias_ref[0].astype(jnp.float32)
+    inv_h = 1.0 / heads
 
-    outs = []
-    for g in range(heads):
-        rg = (rs[g] - mean) * (mul * rln_scale[g]) + rln_bias[g]
-        if true_n != n:
-            # the LN bias resurrects padded key columns (0 -> bias_g);
-            # they must contribute nothing to PV
-            rg = jnp.where(col_valid, rg, 0.0)
-        v = qkv[:, 2 * hd + g * d : 2 * hd + (g + 1) * d]
-        outs.append(
-            jax.lax.dot(
-                rg.astype(v.dtype), v,
+    attn_rows = []
+    for s_i in range(bb):
+        rows = slice(s_i * n, (s_i + 1) * n)
+        # per-head softmax'd score tiles, fp32, resident in VMEM
+        ps = []
+        for h in range(heads):
+            q = qkv[rows, h * d : (h + 1) * d]
+            k = qkv[rows, hd + h * d : hd + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
-            ).astype(wout_ref.dtype)
-        )
-    attn_out = jnp.concatenate(outs, axis=-1)
+            )
+            s *= scale
+            if col_valid is not None:
+                s = jnp.where(col_valid, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
+
+        # head re-mix: r_g = sum_h mix[h, g] * p_h — weighted sums of tiles
+        rs = [
+            sum(mix[h, g] * ps[h] for h in range(heads)) for g in range(heads)
+        ]
+
+        # LayerNorm over the head axis, elementwise across tiles (flax op
+        # order: fast variance, scale folded into the rsqrt multiplier)
+        mean = sum(rs) * inv_h
+        var = sum(r * r for r in rs) * inv_h - mean * mean
+        var = jnp.maximum(var, 0.0)
+        mul = jax.lax.rsqrt(var + reattn_eps)
+
+        outs = []
+        for g in range(heads):
+            rg = (rs[g] - mean) * (mul * rln_scale[g]) + rln_bias[g]
+            if col_valid is not None:
+                # the LN bias resurrects padded key columns (0 -> bias_g);
+                # they must contribute nothing to PV
+                rg = jnp.where(col_valid, rg, 0.0)
+            v = qkv[rows, 2 * hd + g * d : 2 * hd + (g + 1) * d]
+            outs.append(
+                jax.lax.dot(
+                    rg.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32, precision=precision,
+                ).astype(wout_ref.dtype)
+            )
+        attn_rows.append(jnp.concatenate(outs, axis=-1))
+    attn_out = attn_rows[0] if bb == 1 else jnp.concatenate(attn_rows, axis=0)
 
     out = jax.lax.dot(
         attn_out, wout_ref[:], preferred_element_type=jnp.float32, precision=precision
     )
     out += bout_ref[0].astype(jnp.float32)
     out += x.astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.astype(o_ref.dtype).reshape(bb, n, o_ref.shape[2])
 
 
 def _th_kernel(
@@ -253,9 +264,11 @@ def _talking_heads_block_impl(
 
     # Batch-block short-sequence calls so the qkv/out GEMMs see bb*n rows
     # (MXU M-occupancy; see _th_kernel docstring). Score tiles cost
-    # bb*heads*n^2 fp32 words twice over — keep the working set modest.
+    # bb*heads*n^2 fp32 words twice over — gate at the measured-win shape
+    # (n<=64; at n=80 the re-attention sibling measured a regression from
+    # the same blocking — VMEM pressure from the live tile lists).
     bb = 1
-    if n <= 128:
+    if n <= 64:
         for cand in (4, 2):
             if b % cand == 0 and cand * heads * n * n * 4 * 2 <= 4 * 1024 * 1024:
                 bb = cand
@@ -417,14 +430,26 @@ def _reattention_block_impl(
     if n != true_n:
         x = jnp.pad(x, ((0, 0), (0, n - true_n), (0, 0)))
 
+    # Same short-sequence batch-blocking as the talking-heads kernel, but
+    # gated tighter: at the DeepViT zoo shape (padded n=80, heads 16) bb=4
+    # measured a ~10% whole-model REGRESSION (re-attention keeps ps+rs
+    # tile lists live simultaneously — 80^2 fp32 tiles spill VMEM where
+    # CaiT's 64^2 fit), so only clean n<=64 blocks.
+    bb = 1
+    if n <= 64:
+        for cand in (4, 2):
+            if b % cand == 0 and cand * heads * n * n * 4 * 2 <= 4 * 1024 * 1024:
+                bb = cand
+                break
+
     out = pl.pallas_call(
         functools.partial(
             _kernel, heads=heads, d=d, scale=float(scale), ln_eps=ln_eps,
-            reattn_eps=reattn_eps, true_n=true_n,
+            reattn_eps=reattn_eps, true_n=true_n, bb=bb,
         ),
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, three_hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -434,7 +459,7 @@ def _reattention_block_impl(
             pl.BlockSpec((1, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, n, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, dim), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * dim * three_hd
