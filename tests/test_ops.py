@@ -422,6 +422,17 @@ class TestPatchOps:
         ).numpy()
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-6)
 
+    def test_extract_patches_matches_tf_order_valid(self):
+        # PiT's overlapping patchify uses VALID padding (pit.py:212-218,
+        # stride = patch/2); pin that path to TF bit-for-bit too.
+        tf = pytest.importorskip("tensorflow")
+        x = np.asarray(rand(1, (2, 17, 17, 3)))
+        ours = extract_patches(jnp.asarray(x), kernel=4, stride=2, padding="VALID")
+        theirs = tf.image.extract_patches(
+            x, sizes=[1, 4, 4, 1], strides=[1, 2, 2, 1], rates=[1, 1, 1, 1], padding="VALID"
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-6)
+
     def test_spt_shifts(self):
         x = rand(0, (1, 8, 8, 3))
         out = spt_shifts(x)
